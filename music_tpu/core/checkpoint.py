@@ -143,6 +143,43 @@ def restore(ckpt_dir: str | Path, example_state: Any, step: int | None = None) -
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def restore_subtree(
+    ckpt_dir: str | Path, example: Any, prefix: str, step: int | None = None
+) -> Any:
+    """Restore only the leaves under ``prefix`` of a larger checkpoint into
+    ``example``'s structure — e.g. ``prefix=".params"`` pulls just the model
+    parameters out of a full TrainState checkpoint (the generation-time use
+    case; reference analog: load_model's state_dict-only restore,
+    wavenet/train.py:53-73)."""
+    ckpt_dir = Path(ckpt_dir)
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    target = ckpt_dir / f"step_{step}"
+    manifest = json.loads((target / _MANIFEST).read_text())
+    with np.load(target / _ARRAYS) as data:
+        stored = {
+            leaf["path"][len(prefix):]: data[leaf["key"]]
+            for leaf in manifest["leaves"]
+            if leaf["path"].startswith(prefix)
+        }
+    if not stored:
+        raise KeyError(f"checkpoint {target} has no leaves under {prefix!r}")
+    leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(example)
+    new_leaves = []
+    for path, leaf in leaves_with_paths:
+        key = _keystr(path)
+        if key not in stored:
+            raise KeyError(f"checkpoint {target}:{prefix} missing leaf {key}")
+        ref = np.asarray(leaf)
+        arr = stored[key]
+        if ref.shape != arr.shape:
+            raise ValueError(f"leaf {key} shape {arr.shape} != expected {ref.shape}")
+        new_leaves.append(arr.astype(ref.dtype) if ref.dtype != arr.dtype else arr)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 def restore_or_init(ckpt_dir: str | Path, init_state: Any) -> tuple[Any, int]:
     """Resume-if-present: returns ``(state, step)`` — ``(init_state, 0)`` when
     no checkpoint exists.  Replaces the reference's filename-parsing resume

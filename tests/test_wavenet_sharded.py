@@ -1,0 +1,96 @@
+"""Multi-chip (CPU-simulated) WaveNet training: the sharded dp x sp x tp loss
+must match the single-device loss and gradients, and the train step must run
+with all three axes active."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from music_tpu.models import wavenet as wn
+from music_tpu.parallel.mesh import MeshSpec, make_mesh
+from music_tpu.train import wavenet_train as wt
+
+TINY = wn.WaveNetConfig(
+    filter_width=2,
+    dilations=(1, 2, 4, 8, 1, 2, 4, 8),
+    dilation_channels=8,
+    residual_channels=8,
+    skip_channels=16,
+    quantization_channels=32,
+    use_bias=False,
+)
+WL = 16  # window_length; tokens are [B, RF + WL] = [B, 48]
+
+
+def _data(batch=4):
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.integers(0, 32, (batch, TINY.receptive_field + WL)), jnp.int32)
+
+
+def test_sharded_loss_matches_unsharded():
+    mesh = make_mesh(MeshSpec(data=2, seq=2, model=2))
+    params = wn.init_params(jax.random.PRNGKey(0), TINY)
+    tokens = _data()
+
+    ref_loss, ref_grads = jax.value_and_grad(wn.loss_fn)(params, tokens, TINY)
+
+    loss_fn, specs = wt.make_loss_fn(TINY, mesh, WL)
+    sharded_params = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, {k: specs[k] for k in params},
+    )
+    tokens_sh = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    loss, grads = jax.value_and_grad(loss_fn)(sharded_params, tokens_sh)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for k in ref_grads:
+        np.testing.assert_allclose(
+            np.asarray(grads[k]), np.asarray(ref_grads[k]), rtol=1e-4, atol=1e-5,
+            err_msg=f"grad mismatch for {k}",
+        )
+
+
+def test_sharded_train_step_decreases_loss():
+    mesh = make_mesh(MeshSpec(data=2, seq=2, model=2))
+    tx = optax.adam(1e-2)
+    state = wt.init_state(jax.random.PRNGKey(1), TINY, tx, mesh)
+    step_fn, _ = wt.make_train_step(TINY, tx, mesh, WL)
+    t = np.arange(TINY.receptive_field + WL)
+    tokens = jnp.asarray((t % 32)[None].repeat(4, 0), jnp.int32)
+    tokens = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    losses = []
+    for _ in range(20):
+        state, loss = step_fn(state, tokens)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 20
+
+
+def test_halo_exchange_identity():
+    """left_halo_exchange over seq must reproduce the unsharded sequence."""
+    from jax import shard_map
+    from music_tpu.parallel.halo import left_halo_exchange
+
+    mesh = make_mesh(MeshSpec(data=1, seq=4, model=1), devices=jax.devices()[:4])
+    x = jnp.arange(4 * 16 * 2, dtype=jnp.float32).reshape(1, 64, 2)
+
+    def f(xl):
+        return left_halo_exchange(xl, halo=3, axis_name="seq")
+
+    y = shard_map(
+        f, mesh=mesh, in_specs=P(None, "seq", None), out_specs=P(None, "seq", None)
+    )(x)
+    y = np.asarray(y)
+    # each shard's chunk: [3 halo | 16 local]; shard 0 halo is zeros
+    chunk = y.reshape(1, 4, 19, 2)
+    np.testing.assert_array_equal(chunk[0, 0, :3], np.zeros((3, 2)))
+    for s in range(1, 4):
+        np.testing.assert_array_equal(
+            chunk[0, s, :3], np.asarray(x[0, s * 16 - 3 : s * 16])
+        )
+    for s in range(4):
+        np.testing.assert_array_equal(
+            chunk[0, s, 3:], np.asarray(x[0, s * 16 : (s + 1) * 16])
+        )
