@@ -1,0 +1,322 @@
+"""Fully-fused WaveNet autoregressive decode — one Pallas kernel, 8 streams.
+
+The reference's fast path is 160k Python iterations of per-layer cached
+convs (wavenet/fast_generate.py:66-141).  The lax.scan rewrite
+(music_tpu/models/wavenet.py:generate_tokens) already collapses that into
+one XLA program (~16k samples/sec/chip); this kernel removes the remaining
+per-op dispatch: the ENTIRE generation loop — 40 gated residual layers,
+skip/post projections, argmax sampling, re-embedding, cache update — runs
+inside a single ``pallas_call`` with every weight and the activation cache
+resident in VMEM.
+
+Shape discipline: Mosaic has no sublane broadcast and no unaligned dynamic
+vector loads, so every tensor in the loop is ``[8, lanes]`` — the native
+(sublane x lane) tile.  The 8 sublanes are 8 *independent decode streams*
+(the reference decodes one): same latency per step, 8x the samples.
+
+- **Cache = per-dilation ring buffers of [8, 128] tiles.**  Layers sharing
+  a dilation value form a group (the shipped schedule [1,2,...,512]*4 gives
+  10 groups of 4 layers x 32 ch = 128 lanes).  Group ``g`` keeps a
+  ``[d_g, 8, 128]`` VMEM buffer; at step ``t`` slot ``t mod d_g`` holds
+  exactly the tile from ``t - d_g`` — read it, then overwrite with the
+  current activations.  Leading-dim indices address whole (8, 128) tiles,
+  so the dynamic slot access is always aligned; cache traffic is O(1)
+  tiles/step per group regardless of dilation.
+- **Lane extraction on the MXU**: layer ``i``'s tap occupies lanes
+  ``[k*Cr,(k+1)*Cr)`` of its group tile; the prev-tap weight is zero-padded
+  to ``[128, 2Cd]`` so the matmul selects the lanes for free.
+- **Tokens live as one-hot rows** ``[8, Q]``: embedding = one MXU matmul;
+  argmax -> ``[8, 1]`` int vreg -> iota-compare back to one-hot.  No
+  vector->scalar extraction, no gathers, no SMEM.
+- **Priming is not in the kernel**: the cache init and boot one-hots come
+  from a *parallel* conv forward over the prime.
+- **Output**: a ``[8, 128]`` vreg (lane-masked insert per step) stored to
+  an aligned 8-row tile of the output every 128 steps.
+- **One skip GEMM**: all 40 skip projections batched as
+  ``[8, L*Cd] @ [L*Cd, Cs]``.
+
+VMEM (full config: L=40, Cr=Cd=32, Cs=512, Q=256):
+cache sum(d)*8*128*4 = 4.2 MB + fg 1.4 MB + dense 0.7 MB + skip 2.6 MB +
+post 1.5 MB + embeddings 0.3 MB + out 4 MB/128k  ≈ 11-14 MB < 16 MB.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from music_tpu.models.wavenet import WaveNetConfig
+from music_tpu.ops.conv import conv1x1, dilated_causal_conv, token_causal_conv
+
+N_STREAMS = 8  # sublane dimension — fixed by the f32 tile shape
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _grouping(cfg: WaveNetConfig):
+    """Group layers by dilation value (order of first appearance).
+
+    Returns (groups, lane_of_layer): groups is [(dilation, [layer idx])];
+    each group's activations occupy one 128-lane row (lane_of_layer[i] is
+    layer i's offset within it).
+    """
+    Cr = cfg.residual_channels
+    order: list[int] = []
+    members: dict[int, list[int]] = {}
+    for i, d in enumerate(cfg.dilations):
+        if d not in members:
+            members[d] = []
+            order.append(d)
+        members[d].append(i)
+    groups = [(d, members[d]) for d in order]
+    lane_of_layer = {}
+    for d, layers in groups:
+        if len(layers) * Cr > 128:
+            raise NotImplementedError(
+                f"group of {len(layers)} layers x {Cr} ch exceeds one 128-lane row"
+            )
+        for k, i in enumerate(layers):
+            lane_of_layer[i] = k * Cr
+    return groups, lane_of_layer
+
+
+def _decode_kernel(
+    # inputs
+    ring_init_ref,   # [sum(d_g), 8, 128] f32 — packed per-group init tiles
+    cur0_ref,        # [8, Q] f32 — one-hot of the first input token (s_0)
+    prev0_ref,       # [8, Q] f32 — one-hot of the last prime token
+    ecur_ref,        # [Q, Cr] f32  (causal tap on the current token)
+    eprev_ref,       # [Q, Cr] f32  (causal tap on the previous token)
+    fgp_ref,         # [L, 128, 2*Cd] f32 — zero-padded prev-tap weights
+    fgc_ref,         # [L, Cr, 2*Cd] f32 — current-tap weights
+    densew_ref,      # [L, Cd, Cr] f32
+    skipw_ref,       # [L*Cd, Cs] f32
+    post1_ref,       # [Cs, Cs] f32
+    post2_ref,       # [Cs, Q] f32
+    # outputs
+    out_ref,         # [(T//128)*8, 128] i32 — block b rows 8b..8b+8 = streams
+    # scratch: one shift register per dilation group
+    *rings,          # each [d_g, 8, 128] f32
+    cfg: WaveNetConfig,
+    total: int,
+):
+    L = cfg.n_blocks
+    Cr, Cd, Cs, Q = (
+        cfg.residual_channels,
+        cfg.dilation_channels,
+        cfg.skip_channels,
+        cfg.quantization_channels,
+    )
+    groups, lane_of_layer = _grouping(cfg)
+    layer_group = {}
+    for g, (d, layers) in enumerate(groups):
+        for i in layers:
+            layer_group[i] = g
+    ring_base = list(np.cumsum([0] + [d for d, _ in groups[:-1]]))
+
+    for g, (d, _) in enumerate(groups):
+        rings[g][:] = ring_init_ref[ring_base[g] : ring_base[g] + d]
+
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (N_STREAMS, Q), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (N_STREAMS, 128), 1)
+
+    def step(t, carry):
+        prev_oh, cur_oh, out_row = carry  # [8,Q] f32, [8,Q] f32, [8,128] i32
+
+        x = jnp.dot(cur_oh, ecur_ref[:], preferred_element_type=jnp.float32)
+        x = x + jnp.dot(prev_oh, eprev_ref[:], preferred_element_type=jnp.float32)
+
+        taps = []
+        slots = []
+        for g, (d, layers) in enumerate(groups):
+            slot = t % d if d > 1 else 0
+            slots.append(slot)
+            taps.append(rings[g][pl.ds(slot, 1)][0])  # [8, 128] = x_i[t - d]
+
+        xs = []
+        zs = []
+        for i in range(L):
+            tap = taps[layer_group[i]]
+            xs.append(x)
+            # prev-tap via zero-padded weights: the matmul extracts the lanes
+            fg = jnp.dot(tap, fgp_ref[i], preferred_element_type=jnp.float32)
+            fg = fg + jnp.dot(x, fgc_ref[i], preferred_element_type=jnp.float32)
+            z = jnp.tanh(fg[:, :Cd]) * jax.nn.sigmoid(fg[:, Cd:])
+            x = x + jnp.dot(z, densew_ref[i], preferred_element_type=jnp.float32)
+            zs.append(z)
+
+        # overwrite each group's slot with the current activations
+        for g, (d, layers) in enumerate(groups):
+            pieces = [xs[i] for i in layers]
+            pad = 128 - len(layers) * Cr
+            if pad:
+                pieces.append(jnp.zeros((N_STREAMS, pad), jnp.float32))
+            new_tile = jnp.concatenate(pieces, axis=1)  # [8, 128]
+            rings[g][pl.ds(slots[g], 1)] = new_tile[None]
+
+        z_all = jnp.concatenate(zs, axis=1)  # [8, L*Cd] (layer-major)
+        h = jax.nn.relu(jnp.dot(z_all, skipw_ref[:], preferred_element_type=jnp.float32))
+        h = jax.nn.relu(jnp.dot(h, post1_ref[:], preferred_element_type=jnp.float32))
+        logits = jnp.dot(h, post2_ref[:], preferred_element_type=jnp.float32)  # [8, Q]
+
+        next_tok = jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)  # [8,1]
+        next_oh = (q_iota == next_tok).astype(jnp.float32)  # [8, Q]
+
+        out_row = jnp.where(lane_iota == (t % 128), next_tok, out_row)
+
+        @pl.when(t % 128 == 127)
+        def _():
+            base = pl.multiple_of((t // 128) * 8, 8)
+            out_ref[pl.ds(base, 8), :] = out_row
+
+        return cur_oh, next_oh, out_row
+
+    jax.lax.fori_loop(
+        0,
+        total,
+        step,
+        (prev0_ref[:], cur0_ref[:], jnp.zeros((N_STREAMS, 128), jnp.int32)),
+    )
+
+
+def _build_kernel_weights(params: dict, cfg: WaveNetConfig):
+    """Repack the model pytree into the kernel's layouts."""
+    L, Cr, Cd, Cs = (
+        cfg.n_blocks,
+        cfg.residual_channels,
+        cfg.dilation_channels,
+        cfg.skip_channels,
+    )
+    _, lane_of_layer = _grouping(cfg)
+    # zero-padded prev-tap weights: rows [k*Cr,(k+1)*Cr) of layer i's group
+    # row carry fg[i, 0]; everything else 0 so the matmul masks the lanes
+    fgp = jnp.zeros((L, 128, 2 * Cd), jnp.float32)
+    for i in range(L):
+        off = lane_of_layer[i]
+        fgp = fgp.at[i, off : off + Cr].set(params["fg"][i, 0])
+    return {
+        "ecur": params["causal"][1],   # [Q, Cr] — tap on current token
+        "eprev": params["causal"][0],  # [Q, Cr] — tap on previous token
+        "fgp": fgp,
+        "fgc": params["fg"][:, 1],     # [L, Cr, 2Cd]
+        "densew": params["dense"],
+        "skipw": params["skip"].reshape(L * Cd, Cs),
+        "post1": params["post1"],
+        "post2": params["post2"],
+    }
+
+
+def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig):
+    """Parallel prime: run the conv forward over the prime tokens, extract
+    the shift-register init tiles + the boot one-hots.
+
+    Invariant entering kernel step 0: group ``g``'s slot ``s`` holds layer
+    inputs at absolute time ``P - d_g + s`` (P = prime length), so step
+    ``t``'s read of slot ``t mod d_g`` yields time ``P + t - d_g``.
+    Requires ``P >= receptive_field + max_dilation`` and batch == N_STREAMS.
+    """
+    L, Cr, Q = cfg.n_blocks, cfg.residual_channels, cfg.quantization_channels
+    D_max = max(cfg.dilations)
+    P = prime.shape[1]
+    need = cfg.receptive_field + D_max
+    if P < need:
+        raise ValueError(f"prime length {P} < receptive_field + max_dilation = {need}")
+    groups, lane_of_layer = _grouping(cfg)
+
+    # collect per-layer residual streams (valid convs, shrinking lengths)
+    x = token_causal_conv(prime, params["causal"])  # [8, P-1, Cr], abs offset 1
+    streams = [x]
+    offsets = [1]
+    for i, d in enumerate(cfg.dilations):
+        fg = dilated_causal_conv(x, params["fg"][i], dilation=d)
+        z = jnp.tanh(fg[..., : cfg.dilation_channels]) * jax.nn.sigmoid(
+            fg[..., cfg.dilation_channels :]
+        )
+        x = conv1x1(z, params["dense"][i]) + x[:, -fg.shape[1]:, :]
+        streams.append(x)
+        offsets.append(offsets[-1] + d)
+
+    total_tiles = sum(d for d, _ in groups)
+    init = jnp.zeros((total_tiles, N_STREAMS, 128), jnp.float32)
+    base = 0
+    for g, (d, layers) in enumerate(groups):
+        for i in layers:
+            s, o = streams[i], offsets[i]
+            # slot k (k=0..d-1) <- abs time P - d + k
+            seg = s[:, P - d - o : P - o, :]               # [8, d, Cr]
+            seg = jnp.swapaxes(seg, 0, 1)                  # [d, 8, Cr]
+            lane = lane_of_layer[i]
+            init = init.at[base : base + d, :, lane : lane + Cr].set(seg)
+        base += d
+
+    # first sampled token s_0 from the last receptive field of the prime
+    from music_tpu.models.wavenet import forward
+
+    logits = forward(params, prime[:, -cfg.receptive_field :], cfg)  # [8, 1, Q]
+    s0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)        # [8]
+    cur0 = jax.nn.one_hot(s0, Q, dtype=jnp.float32)
+    prev0 = jax.nn.one_hot(prime[:, -1], Q, dtype=jnp.float32)
+    return init, cur0, prev0, s0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret"))
+def generate_tokens_fused(
+    params: dict,
+    prime: jax.Array,
+    *,
+    cfg: WaveNetConfig,
+    n_steps: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Generate ``n_steps`` codes per stream (greedy) after priming.
+
+    ``prime``: ``[B, P]`` int codes with ``B <= 8``; rows are independent
+    streams (padded internally to 8).  Returns ``[B, n_steps]``.
+
+    Semantics match :func:`music_tpu.models.wavenet.generate_tokens` with
+    ``sample_mode='argmax'`` (verified in tests/test_pallas_decode.py).
+    """
+    if cfg.filter_width != 2:
+        raise NotImplementedError("fused decode assumes filter_width=2")
+    B = prime.shape[0]
+    if B > N_STREAMS:
+        raise ValueError(f"at most {N_STREAMS} streams, got {B}")
+    if B < N_STREAMS:
+        prime = jnp.concatenate(
+            [prime, jnp.tile(prime[-1:], (N_STREAMS - B, 1))], axis=0
+        )
+    groups, _ = _grouping(cfg)
+
+    ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, cfg)
+    w = _build_kernel_weights(params, cfg)
+
+    total = _round_up(n_steps, 128)
+    kernel = functools.partial(_decode_kernel, cfg=cfg, total=total)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(((total // 128) * 8, 128), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((d, N_STREAMS, 128), jnp.float32) for d, _ in groups
+        ],
+        interpret=interpret,
+    )(
+        ring0, cur0, prev0,
+        w["ecur"], w["eprev"], w["fgp"], w["fgc"], w["densew"], w["skipw"],
+        w["post1"], w["post2"],
+    )
+    # out rows: block b holds streams at times [128b, 128(b+1))
+    toks = out.reshape(total // 128, N_STREAMS, 128)
+    toks = jnp.swapaxes(toks, 0, 1).reshape(N_STREAMS, total)[:, :n_steps]
+    # the kernel consumes s_0 at step 0 and emits s_1..; the generated stream
+    # starts at s_0
+    return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]

@@ -1,0 +1,199 @@
+"""SeqGAN training orchestration: oracle protocol, MLE pretrain, adversarial
+alternation — the public surface of SeqGan_Pytorch/train.py + seqgan.py.
+
+Reference flow (SeqGan_Pytorch/train.py:62-97): a randomly-initialized
+G_LSTM acts as the oracle ("real" distribution) and writes positive samples;
+pretrain G by MLE; pretrain D on pos/neg files; then alternate: G policy-
+gradient step with MC-rollout rewards / regenerate negatives / D steps.
+Oracle NLL (leak_gan/target.py:104-113 protocol) is the quality metric.
+
+TPU redesign: each phase step is one jitted program; the file artifacts
+(whitespace-separated token lines, generator.py:90-106 format) remain as an
+API but never sit on the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from music_tpu.core.prng import KeySeq
+from music_tpu.models import seqgan as sg
+
+
+@dataclasses.dataclass
+class SeqGanConfig:
+    """Hyperparameters of SeqGan_Pytorch/train.py:22-58."""
+
+    g: sg.GeneratorConfig = dataclasses.field(default_factory=sg.GeneratorConfig)
+    d: sg.DiscriminatorConfig = dataclasses.field(default_factory=sg.DiscriminatorConfig)
+    batch_size: int = 64
+    generated_num: int = 1024     # sequences the oracle/generator materializes
+    rollout_num: int = 16
+    g_lr: float = 1e-2
+    d_lr: float = 1e-2
+    grad_clip: float = 5.0        # seqgan.py:35
+
+
+def write_samples(path: str | Path, samples: np.ndarray):
+    """Whitespace-separated token lines (generator.py:90-106 artifact)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with path.open("w") as f:
+        for row in np.asarray(samples):
+            f.write(" ".join(str(int(v)) for v in row) + "\n")
+
+
+def read_samples(path: str | Path) -> np.ndarray:
+    rows = []
+    for line in Path(path).read_text().splitlines():
+        if line.strip():
+            rows.append([int(v) for v in line.split()])
+    return np.asarray(rows, np.int32)
+
+
+class SeqGanTrainer:
+    """Holds G/D/oracle params + optimizers; each phase is a jitted step."""
+
+    def __init__(self, cfg: SeqGanConfig, seed: int = 0):
+        self.cfg = cfg
+        self.keys = KeySeq(seed)
+        # oracle = randomly-initialized generator with N(0,1) LSTM-ish init
+        # (the reference uses default inits for the oracle too, train.py:61)
+        self.oracle_params = sg.init_generator(self.keys.next(), cfg.g)
+        self.g_params = sg.init_generator(self.keys.next(), cfg.g)
+        self.d_params = sg.init_discriminator(self.keys.next(), cfg.d)
+
+        self.g_tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip), optax.adam(cfg.g_lr)
+        )
+        self.d_tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip), optax.adam(cfg.d_lr)
+        )
+        self.g_opt = self.g_tx.init(self.g_params)
+        self.d_opt = self.d_tx.init(self.d_params)
+
+        g_cfg, d_cfg = cfg.g, cfg.d
+
+        @jax.jit
+        def mle_step(params, opt_state, tokens):
+            loss, grads = jax.value_and_grad(sg.generator_nll)(params, tokens, g_cfg)
+            updates, opt_state = self.g_tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        @jax.jit
+        def d_step(params, opt_state, tokens, labels, key):
+            loss, grads = jax.value_and_grad(sg.discriminator_loss)(
+                params, tokens, labels, d_cfg, key
+            )
+            updates, opt_state = self.d_tx.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        @functools.partial(jax.jit, donate_argnums=())
+        def pg_step(g_params, opt_state, d_params, key):
+            k1, k2 = jax.random.split(key)
+            samples = sg.generate(g_params, k1, g_cfg, cfg.batch_size)
+            rewards = sg.rollout_rewards(
+                g_params, d_params, samples, k2,
+                g_cfg=g_cfg, d_cfg=d_cfg, rollout_num=cfg.rollout_num,
+            )
+            loss, grads = jax.value_and_grad(sg.pg_loss)(
+                g_params, samples, rewards, g_cfg
+            )
+            updates, opt_state = self.g_tx.update(grads, opt_state)
+            return optax.apply_updates(g_params, updates), opt_state, loss, rewards
+
+        @jax.jit
+        def oracle_nll(oracle_params, g_params, key):
+            samples = sg.generate(g_params, key, g_cfg, cfg.batch_size)
+            return sg.generator_nll(oracle_params, samples, g_cfg)
+
+        self._mle_step = mle_step
+        self._d_step = d_step
+        self._pg_step = pg_step
+        self._oracle_nll = oracle_nll
+
+    # ----- phases ---------------------------------------------------------
+
+    def oracle_samples(self, n: int) -> np.ndarray:
+        """Positive data from the oracle (train.py:62-64)."""
+        out = []
+        for _ in range(-(-n // self.cfg.batch_size)):
+            out.append(
+                np.asarray(
+                    sg.generate(self.oracle_params, self.keys.next(), self.cfg.g, self.cfg.batch_size)
+                )
+            )
+        return np.concatenate(out)[:n]
+
+    def generator_samples(self, n: int) -> np.ndarray:
+        out = []
+        for _ in range(-(-n // self.cfg.batch_size)):
+            out.append(
+                np.asarray(
+                    sg.generate(self.g_params, self.keys.next(), self.cfg.g, self.cfg.batch_size)
+                )
+            )
+        return np.concatenate(out)[:n]
+
+    def pretrain_generator(self, positive: np.ndarray, epochs: int = 1) -> float:
+        """MLE pretraining (seqgan.py:78-81)."""
+        B = self.cfg.batch_size
+        last = 0.0
+        for _ in range(epochs):
+            perm = np.random.default_rng(0).permutation(len(positive))
+            for i in range(0, len(positive) - B + 1, B):
+                batch = jnp.asarray(positive[perm[i : i + B]])
+                self.g_params, self.g_opt, loss = self._mle_step(
+                    self.g_params, self.g_opt, batch
+                )
+                last = float(loss)
+        return last
+
+    def train_discriminator(
+        self, positive: np.ndarray, d_steps: int = 1, epochs: int = 1
+    ) -> float:
+        """Regenerate negatives, then CE epochs (seqgan.py:83-93)."""
+        B = self.cfg.batch_size
+        last = 0.0
+        for _ in range(d_steps):
+            negative = self.generator_samples(len(positive))
+            tokens = np.concatenate([positive, negative])
+            labels = np.concatenate(
+                [np.ones(len(positive), np.int32), np.zeros(len(negative), np.int32)]
+            )
+            for _ in range(epochs):
+                perm = np.random.default_rng(1).permutation(len(tokens))
+                for i in range(0, len(tokens) - B + 1, B):
+                    idx = perm[i : i + B]
+                    self.d_params, self.d_opt, loss = self._d_step(
+                        self.d_params, self.d_opt,
+                        jnp.asarray(tokens[idx]), jnp.asarray(labels[idx]),
+                        self.keys.next(),
+                    )
+                    last = float(loss)
+        return last
+
+    def adversarial_epoch(self, positive: np.ndarray, g_steps: int = 1, d_steps: int = 5, d_epochs: int = 3):
+        """One adversarial round (seqgan.py:160-168): g_steps PG updates with
+        fresh MC rewards, then D retraining."""
+        g_loss = 0.0
+        for _ in range(g_steps):
+            self.g_params, self.g_opt, loss, _ = self._pg_step(
+                self.g_params, self.g_opt, self.d_params, self.keys.next()
+            )
+            g_loss = float(loss)
+        d_loss = self.train_discriminator(positive, d_steps, d_epochs)
+        return g_loss, d_loss
+
+    def oracle_nll(self) -> float:
+        """Quality metric: NLL of G's samples under the oracle."""
+        return float(self._oracle_nll(self.oracle_params, self.g_params, self.keys.next()))

@@ -1,0 +1,42 @@
+"""Fused Pallas decode vs the lax.scan reference path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from music_tpu.kernels.wavenet_decode import generate_tokens_fused
+from music_tpu.models import wavenet as wn
+
+TINY = wn.WaveNetConfig(
+    filter_width=2,
+    dilations=(1, 2, 4, 8, 1, 2, 4, 8),
+    dilation_channels=8,
+    residual_channels=8,
+    skip_channels=16,
+    quantization_channels=32,
+    use_bias=False,
+)
+
+
+def test_fused_decode_matches_scan():
+    params = wn.init_params(jax.random.PRNGKey(0), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 16  # 55
+    prime = jax.random.randint(jax.random.PRNGKey(1), (1, P), 0, 32)
+
+    ref = wn.generate_tokens(
+        params, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=150, prime_len=P, sample_mode="argmax",
+    )
+    fused = generate_tokens_fused(
+        params, prime, cfg=TINY, n_steps=150, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+def test_fused_decode_nonmultiple_of_128():
+    params = wn.init_params(jax.random.PRNGKey(2), TINY)
+    P = TINY.receptive_field + max(TINY.dilations)
+    prime = jnp.full((1, P), 16, jnp.int32)
+    out = generate_tokens_fused(params, prime, cfg=TINY, n_steps=37, interpret=True)
+    assert out.shape == (1, 37)
+    assert (out >= 0).all() and (out < 32).all()
