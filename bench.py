@@ -20,42 +20,45 @@ import numpy as np
 TARGET_SAMPLES_PER_SEC = 10_000.0
 
 
-def bench_wavenet_generate(n_steps: int = 16_000, warmup_steps: int = 2_000) -> float:
+def bench_wavenet_generate(n_steps: int = 16_384) -> tuple[float, float]:
+    """Returns (single_stream_rate, total_rate) via the fused Pallas kernel
+    (music_tpu/kernels/wavenet_decode.py): the whole autoregressive loop in
+    one on-chip kernel, 8 independent streams in the sublane dimension."""
     from music_tpu.models import wavenet as wn
+    from music_tpu.kernels.wavenet_decode import N_STREAMS, generate_tokens_fused
 
     cfg = wn.WaveNetConfig()
     params = wn.init_params(jax.random.PRNGKey(0), cfg)
-    prime = jnp.full((1, cfg.receptive_field), 128, jnp.int32)
-    key = jax.random.PRNGKey(0)
+    P = cfg.receptive_field + max(cfg.dilations)
 
-    def run(n, seed):
-        # vary the prime with the seed (a time-based nonce): identical
-        # (input, executable) pairs can be served from an execution cache on
-        # relayed backends, which would fake the timing — and the result must
-        # be fetched to host inside the timed region, since block_until_ready
-        # can return at dispatch-ack on tunneled platforms
-        p = prime.at[0, 0].set(seed % 256)
-        out = wn.generate_tokens(
-            params, p, jax.random.PRNGKey(seed), cfg=cfg, n_steps=n,
-            prime_len=cfg.receptive_field, sample_mode="argmax",
-        )
+    def run(seed):
+        # vary the prime with a time-based nonce: identical (input,
+        # executable) pairs can be served from an execution cache on relayed
+        # backends — and the result must be fetched to host inside the timed
+        # region, since block_until_ready can return at dispatch-ack
+        prime = jax.random.randint(jax.random.PRNGKey(seed), (N_STREAMS, P), 0, 256)
+        out = generate_tokens_fused(params, prime, cfg=cfg, n_steps=n_steps)
         return np.asarray(out)
 
     nonce = int(time.time() * 1000)
-    run(n_steps, nonce)  # compile + warm
+    run(nonce)  # compile + warm
     t0 = time.perf_counter()
-    run(n_steps, nonce + 1)
+    run(nonce + 1)
     t1 = time.perf_counter()
-    total = cfg.receptive_field - 1 + n_steps  # scan includes priming steps
-    return total / (t1 - t0)
+    dt = t1 - t0
+    return n_steps / dt, n_steps * N_STREAMS / dt
 
 
 def main():
-    rate = bench_wavenet_generate()
+    rate, total_rate = bench_wavenet_generate()
+    print(
+        f"# single-stream {rate:.0f} samples/s; 8-stream total {total_rate:.0f} samples/s",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
-                "metric": "wavenet_fast_generate_throughput",
+                "metric": "wavenet_fast_generate_throughput_single_stream",
                 "value": round(rate, 1),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(rate / TARGET_SAMPLES_PER_SEC, 3),

@@ -37,11 +37,14 @@ def generate(
     sample_mode: str = "argmax",
     temperature: float = 1.0,
     seed: int = 0,
+    backend: str = "fused",
 ) -> np.ndarray:
     """Generate ``duration`` seconds of audio and write it to ``out_path``.
 
     ``start_piece``: optional µ-law codes to prime with; defaults to a full
-    receptive field of silence (code Q//2 = 128 for Q=256).
+    receptive field (+ max dilation) of silence (code Q//2 = 128 for Q=256).
+    ``backend``: ``"fused"`` (single Pallas kernel, argmax only — the fast
+    path) or ``"scan"`` (lax.scan; supports categorical sampling).
     """
     if params is None:
         if checkpoint_dir is None:
@@ -49,23 +52,32 @@ def generate(
         example = wn.init_params(jax.random.PRNGKey(0), cfg)
         params = ckpt_lib.restore_subtree(checkpoint_dir, example, prefix=".params")
 
+    prime_len = cfg.receptive_field + max(cfg.dilations)
     if start_piece is None:
         start_piece = np.full(
-            (cfg.receptive_field,), cfg.quantization_channels // 2, np.int32
+            (prime_len,), cfg.quantization_channels // 2, np.int32
         )
     prime = jnp.asarray(start_piece, jnp.int32)[None, :]
 
     n_steps = int(duration * sr)
-    codes = wn.generate_tokens(
-        params,
-        prime,
-        jax.random.PRNGKey(seed),
-        cfg=cfg,
-        n_steps=n_steps,
-        prime_len=prime.shape[1],
-        sample_mode=sample_mode,
-        temperature=temperature,
-    )
+    if backend == "fused" and sample_mode == "argmax" and prime.shape[1] >= prime_len:
+        from music_tpu.kernels.wavenet_decode import generate_tokens_fused
+
+        codes = generate_tokens_fused(
+            params, prime, cfg=cfg, n_steps=n_steps,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        codes = wn.generate_tokens(
+            params,
+            prime,
+            jax.random.PRNGKey(seed),
+            cfg=cfg,
+            n_steps=n_steps,
+            prime_len=prime.shape[1],
+            sample_mode=sample_mode,
+            temperature=temperature,
+        )
     audio = np.asarray(mu_law_decode(codes[0], cfg.quantization_channels))
     wavio.write_wav(out_path, audio, sr)
     return audio

@@ -1,0 +1,171 @@
+"""LeakGAN: component shapes, goal bookkeeping, engines, rewards, losses,
+end-to-end training steps — the TPU-native equivalent of leak_gan/test.py's
+per-component harness (test.py:84-330)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from music_tpu.models import leakgan as lg
+from music_tpu.train.leakgan_train import LeakGanTrainConfig, LeakGanTrainer
+
+CFG = lg.LeakGanConfig(
+    vocab_size=40,
+    seq_len=10,
+    step_size=5,
+    goal_size=4,
+    worker_emb_dim=8,
+    worker_hidden=8,
+    manager_hidden=8,
+    dis_emb_dim=8,
+    filter_sizes=(1, 2, 3),
+    num_filters=(8, 8, 16),
+    dropout=0.2,
+)
+B = 4
+
+
+def _params(seed=0):
+    k = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(k)
+    return lg.init_generator(k1, CFG, B), lg.init_discriminator(k2, CFG)
+
+
+def test_goal_out_size_derivation():
+    # the goal_out_size = sum(num_filters) wiring (leak_gan/train.py:45-49)
+    assert CFG.goal_out_size == 32
+    assert lg.LeakGanConfig().goal_out_size == 1720
+
+
+def test_discriminator_forward_contract():
+    _, d = _params()
+    toks = jax.random.randint(jax.random.PRNGKey(1), (B, 10), 0, 41)  # incl pad
+    out = lg.discriminator_forward(d, toks, CFG)
+    assert out["pred"].shape == (B, 2)
+    assert out["feature"].shape == (B, CFG.goal_out_size)
+    np.testing.assert_allclose(np.asarray(out["pred"].sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_renorm_unit_ball():
+    x = jnp.asarray([[3.0, 4.0], [0.3, 0.4]])
+    y = lg.renorm_unit_ball(x)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(y), axis=1), [1.0, 0.5], rtol=1e-6)
+
+
+def test_generator_step_shapes():
+    g, d = _params()
+    state = lg._init_gen_state(g, B, CFG)
+    f = jnp.zeros((B, CFG.goal_out_size))
+    x = jnp.zeros((B,), jnp.int32)
+    tok, probs, sub_goal, state2 = lg.generator_step(
+        g, x, f, state, CFG, jax.random.PRNGKey(0), 1.0
+    )
+    assert tok.shape == (B,)
+    assert probs.shape == (B, CFG.vocab_size)
+    assert sub_goal.shape == (B, CFG.goal_out_size)
+    # last_goal accumulated
+    np.testing.assert_allclose(
+        np.asarray(state2["last_goal"]), np.asarray(sub_goal), rtol=1e-6
+    )
+
+
+def test_pre_engine_shapes():
+    g, d = _params()
+    real = jax.random.randint(jax.random.PRNGKey(2), (B, 10), 1, 40)
+    rets = lg.pre_engine(g, d, real, jax.random.PRNGKey(3), cfg=CFG)
+    n = CFG.n_goals
+    assert rets["real_goal"].shape == (B, n, CFG.goal_out_size)
+    assert rets["delta_feature"].shape == (B, n, CFG.goal_out_size)
+    assert rets["prediction"].shape == (B, 10, CFG.vocab_size)
+    # first goal snapshot is goal_init (no promote at t=0)
+    np.testing.assert_allclose(
+        np.asarray(rets["real_goal"][:, 0]),
+        np.asarray(g["manager"]["goal_init"][:B]),
+        rtol=1e-6,
+    )
+
+
+def test_adv_engine_shapes_and_token_range():
+    g, d = _params()
+    rets = lg.adv_engine(g, d, jax.random.PRNGKey(4), B, cfg=CFG)
+    assert rets["gen_token"].shape == (B, 10)
+    assert (rets["gen_token"] >= 0).all() and (rets["gen_token"] < 40).all()
+    assert rets["all_goal"].shape == (B, 10, CFG.goal_out_size)
+    assert rets["delta_feature_for_worker"].shape == (B, 10, CFG.goal_out_size)
+
+
+def test_rollout_rewards_shape_and_range():
+    g, d = _params()
+    samples = jax.random.randint(jax.random.PRNGKey(5), (B, 10), 1, 40)
+    r = lg.get_rewards(
+        g, d, samples, jax.random.PRNGKey(6), cfg=CFG, rollout_num=2
+    )
+    assert r.shape == (B, CFG.n_goals)
+    # rescaled sigmoid / rollout_num is in (0, 0.5)
+    assert (np.asarray(r) > 0).all() and (np.asarray(r) < 0.5 + 1e-6).all()
+
+
+def test_rollout_respects_restore_points():
+    """given_num=k streams must reproduce the sample prefix exactly."""
+    g, d = _params()
+    samples = jax.random.randint(jax.random.PRNGKey(7), (B, 10), 1, 40)
+    completions, _ = lg._engine_scan(
+        g, d, CFG, jax.random.PRNGKey(8), B,
+        n_steps=CFG.seq_len,
+        teacher_tokens=samples,
+        teacher_until=jnp.full((B,), 5),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(completions[:, :5]), np.asarray(samples[:, :5])
+    )
+
+
+def test_losses_finite_and_signs():
+    g, d = _params()
+    real = jax.random.randint(jax.random.PRNGKey(9), (B, 10), 1, 40)
+    rets = lg.pre_engine(g, d, real, jax.random.PRNGKey(10), cfg=CFG)
+    ml = lg.pre_manager_loss(rets["real_goal"], rets["delta_feature"])
+    wl = lg.pre_worker_loss(real, rets["prediction"], CFG.vocab_size)
+    assert 0.0 <= float(ml) <= 2.0   # 1 - cos in [0, 2]
+    assert float(wl) > 0.0           # NLL positive
+    labels = jnp.asarray([1, 0, 1, 0], jnp.int32)
+    dl = lg.dis_loss(d, real, labels, CFG)
+    assert np.isfinite(float(dl))
+
+
+def test_end_to_end_training_steps():
+    tc = LeakGanTrainConfig(cfg=CFG, batch_size=B, rollout_num=2, generated_num=8)
+    tr = LeakGanTrainer(tc, seed=0)
+    real = np.random.default_rng(0).integers(1, 40, (16, 10)).astype(np.int64)
+    ml, wl = tr.pretrain_generator(real, epochs=1)
+    assert np.isfinite(ml) and np.isfinite(wl)
+    d_loss = tr.pretrain_discriminator(real, epochs=1)
+    assert np.isfinite(d_loss)
+    aml, awl, adl = tr.adversarial_epoch(real, d_steps=1, d_epochs=1)
+    assert np.isfinite(aml) and np.isfinite(awl) and np.isfinite(adl)
+    nll = tr.oracle_nll()
+    assert np.isfinite(nll)
+
+
+def test_worker_pretrain_reduces_nll():
+    """Worker NLL on a strongly-patterned corpus must drop with pretraining."""
+    tc = LeakGanTrainConfig(cfg=CFG, batch_size=B, m_lr=1e-3, w_lr=5e-3)
+    tr = LeakGanTrainer(tc, seed=1)
+    real = np.tile(np.arange(1, 11)[None], (32, 1)).astype(np.int64)
+    _, wl0 = tr.pretrain_generator(real, epochs=1)
+    for _ in range(4):
+        _, wl = tr.pretrain_generator(real, epochs=1)
+    assert wl < wl0, (wl0, wl)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tc = LeakGanTrainConfig(cfg=CFG, batch_size=B)
+    tr = LeakGanTrainer(tc, seed=2)
+    tr.save(tmp_path, 7)
+    tr2 = LeakGanTrainer(tc, seed=3)
+    step = tr2.restore(tmp_path)
+    assert step == 7
+    np.testing.assert_allclose(
+        np.asarray(tr2.g_params["worker"]["goal_change"]),
+        np.asarray(tr.g_params["worker"]["goal_change"]),
+    )
