@@ -1,0 +1,185 @@
+"""C-RNN-GAN: continuous LSTM GAN over MIDI note events.
+
+The reference subproject is UNFINISHED: the generator references
+nonexistent attributes (c-rnn-gan/model.py:65,94), the train loop is a stub
+(train.py:50-66) and generate.py is empty (SURVEY.md §2.4).  Per
+docs/DIVERGENCES.md #15 this module is built to the *intended* design —
+the C-RNN-GAN paper (Mogren 2016) the reference clearly follows:
+
+- **Generator**: per step, concat(uniform noise, previous output) -> fc1 +
+  ReLU -> 2 stacked LSTM cells -> fc2 -> 4-feature event (duration delta /
+  length / freq / velocity).  Teacher-forces real events during pretraining
+  (model.py:93-98's intent).
+- **Discriminator**: 2-layer bidirectional LSTM -> per-timestep linear ->
+  sigmoid decisions; also returns per-step features for the paper's
+  feature-matching generator loss (model.py:104-137's intent).
+- **Losses**: BCE per timestep for D; G trains either adversarially
+  (-log D(fake)) or by feature matching (MSE of mean D features) — the
+  paper's remedy when D saturates; MSE regression pretraining.
+
+All sequence processing is ``lax.scan``; generation is one scan carrying
+(noise, prev-event, LSTM states).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from music_tpu.ops.rnn import linear, linear_init, lstm_cell, lstm_init, lstm_zero_state
+
+NUM_FEATURES = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class CRnnGanConfig:
+    """c-rnn-gan/params/crnngan_params.json schema."""
+
+    num_song_features: int = NUM_FEATURES
+    noise_dim: int = 100
+    hidden_dim: int = 350
+    song_length: int = 100
+
+    @classmethod
+    def from_json(cls, cfg: dict) -> "CRnnGanConfig":
+        return cls(
+            num_song_features=cfg.get("num_song_features", NUM_FEATURES),
+            noise_dim=cfg.get("noise_dim", cfg.get("random_input_dim", 100)),
+            hidden_dim=cfg.get("hidden_dim", 350),
+            song_length=cfg.get("song_length", 100),
+        )
+
+
+def init_generator(key: jax.Array, cfg: CRnnGanConfig) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    H, F = cfg.hidden_dim, cfg.num_song_features
+    return {
+        "fc1": linear_init(k1, cfg.noise_dim + F, H),
+        "lstm1": lstm_init(k2, H, H),
+        "lstm2": lstm_init(k3, H, H),
+        "fc2": linear_init(k4, H, F),
+    }
+
+
+def init_discriminator(key: jax.Array, cfg: CRnnGanConfig) -> dict:
+    ks = jax.random.split(key, 5)
+    H, F = cfg.hidden_dim, cfg.num_song_features
+    return {
+        "fwd1": lstm_init(ks[0], F, H),
+        "bwd1": lstm_init(ks[1], F, H),
+        "fwd2": lstm_init(ks[2], 2 * H, H),
+        "bwd2": lstm_init(ks[3], 2 * H, H),
+        "out": linear_init(ks[4], 2 * H, 1),
+    }
+
+
+def _g_step(params: dict, noise_t, prev_out, state):
+    (h1, c1), (h2, c2) = state
+    x = jnp.concatenate([noise_t, prev_out], axis=-1)
+    x = jax.nn.relu(linear(params["fc1"], x))
+    h1, c1 = lstm_cell(params["lstm1"], x, (h1, c1))
+    h2, c2 = lstm_cell(params["lstm2"], h1, (h2, c2))
+    out = linear(params["fc2"], h2)
+    return out, ((h1, c1), (h2, c2))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "batch", "length"))
+def generate(params: dict, key: jax.Array, cfg: CRnnGanConfig, batch: int,
+             length: int | None = None) -> jax.Array:
+    """Free-running generation: [batch, length, 4] events."""
+    length = length or cfg.song_length
+    H = cfg.hidden_dim
+    state = (lstm_zero_state(batch, H), lstm_zero_state(batch, H))
+    noise = jax.random.uniform(key, (length, batch, cfg.noise_dim))
+
+    def step(carry, noise_t):
+        prev, state = carry
+        out, state = _g_step(params, noise_t, prev, state)
+        return (out, state), out
+
+    prev0 = jnp.zeros((batch, cfg.num_song_features))
+    _, outs = jax.lax.scan(step, (prev0, state), noise)
+    return jnp.swapaxes(outs, 0, 1)
+
+
+def generator_teacher_forced(params: dict, key: jax.Array, real: jax.Array,
+                             cfg: CRnnGanConfig) -> jax.Array:
+    """Teacher-forced outputs: step t consumes real event t-1 (zeros at
+    t=0); used by MSE pretraining (the intent of model.py:93-98)."""
+    B, T, F = real.shape
+    H = cfg.hidden_dim
+    state = (lstm_zero_state(B, H), lstm_zero_state(B, H))
+    noise = jax.random.uniform(key, (T, B, cfg.noise_dim))
+    prev = jnp.concatenate([jnp.zeros((B, 1, F)), real[:, :-1]], axis=1)
+    prev = jnp.swapaxes(prev, 0, 1)  # [T, B, F]
+
+    def step(state, inp):
+        noise_t, prev_t = inp
+        out, state = _g_step(params, noise_t, prev_t, state)
+        return state, out
+
+    _, outs = jax.lax.scan(step, state, (noise, prev))
+    return jnp.swapaxes(outs, 0, 1)
+
+
+def _bilstm(fwd_params, bwd_params, xs):
+    """xs [B, T, F] -> [B, T, 2H] (forward ‖ backward passes)."""
+    B = xs.shape[0]
+    H = fwd_params["wh"].shape[0]
+
+    def run(params, seq):
+        def step(carry, x_t):
+            h, c = lstm_cell(params, x_t, carry)
+            return (h, c), h
+        _, hs = jax.lax.scan(step, lstm_zero_state(B, H), seq)
+        return hs
+
+    fwd = run(fwd_params, jnp.swapaxes(xs, 0, 1))
+    bwd = run(bwd_params, jnp.swapaxes(xs, 0, 1)[::-1])[::-1]
+    return jnp.swapaxes(jnp.concatenate([fwd, bwd], axis=-1), 0, 1)
+
+
+def discriminator_forward(params: dict, events: jax.Array, cfg: CRnnGanConfig):
+    """[B, T, 4] events -> (decisions [B, T] in (0,1), features [B, T, 2H])
+    — per-timestep real/fake decisions + the feature-matching hook
+    (model.py:104-137's intent)."""
+    h = _bilstm(params["fwd1"], params["bwd1"], events)
+    h = _bilstm(params["fwd2"], params["bwd2"], h)
+    logits = linear(params["out"], h)[..., 0]
+    return jax.nn.sigmoid(logits), h
+
+
+def d_loss(d_params: dict, real: jax.Array, fake: jax.Array, cfg: CRnnGanConfig,
+           eps: float = 1e-7) -> jax.Array:
+    """Per-timestep BCE: real -> 1, fake -> 0."""
+    p_real, _ = discriminator_forward(d_params, real, cfg)
+    p_fake, _ = discriminator_forward(d_params, fake, cfg)
+    return -(jnp.mean(jnp.log(p_real + eps)) + jnp.mean(jnp.log(1.0 - p_fake + eps)))
+
+
+def g_adv_loss(g_params: dict, d_params: dict, key: jax.Array, batch: int,
+               cfg: CRnnGanConfig) -> jax.Array:
+    """Adversarial G loss: -mean log D(fake)."""
+    fake = generate(g_params, key, cfg, batch)
+    p_fake, _ = discriminator_forward(d_params, fake, cfg)
+    return -jnp.mean(jnp.log(p_fake + 1e-7))
+
+
+def g_feature_matching_loss(g_params: dict, d_params: dict, key: jax.Array,
+                            real: jax.Array, cfg: CRnnGanConfig) -> jax.Array:
+    """Paper's feature matching: MSE between mean D features on real vs
+    fake batches."""
+    fake = generate(g_params, key, cfg, real.shape[0])
+    _, f_real = discriminator_forward(d_params, real, cfg)
+    _, f_fake = discriminator_forward(d_params, fake, cfg)
+    return jnp.mean((f_real.mean(axis=(0, 1)) - f_fake.mean(axis=(0, 1))) ** 2)
+
+
+def g_pretrain_loss(g_params: dict, key: jax.Array, real: jax.Array,
+                    cfg: CRnnGanConfig) -> jax.Array:
+    """MSE regression of teacher-forced outputs onto the real events."""
+    pred = generator_teacher_forced(g_params, key, real, cfg)
+    return jnp.mean((pred - real) ** 2)

@@ -1,0 +1,109 @@
+"""C-RNN-GAN + MIDI pipeline: SMF roundtrip, event semantics, model shapes,
+pretrain/GAN steps, end-to-end generate-to-midi."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from music_tpu.data import midi
+from music_tpu.models import crnngan as cg
+from music_tpu.train.crnngan_train import CRnnGanTrainConfig, CRnnGanTrainer, FeatureScaler
+
+CFG = cg.CRnnGanConfig(noise_dim=8, hidden_dim=16, song_length=12)
+
+
+def test_tone_freq_roundtrip():
+    for tone in [0, 21, 60, 69, 108, 127]:
+        assert midi.freq_to_tone(midi.tone_to_freq(tone)) == tone
+    assert abs(midi.tone_to_freq(69) - 440.0) < 1e-9
+
+
+def test_midi_write_read_roundtrip(tmp_path):
+    events = np.array(
+        [
+            [0, 96, midi.tone_to_freq(60), 80],
+            [96, 48, midi.tone_to_freq(64), 90],
+            [96, 48, midi.tone_to_freq(67), 100],
+        ],
+        np.float32,
+    )
+    path = tmp_path / "x.mid"
+    midi.events_to_midi(events, path, ticks_per_quarter_note=384)
+    song = midi.midi_to_song_data(path, output_ticks_per_quarter_note=384)
+    arr = np.asarray(song)
+    assert arr.shape == (3, 4)
+    # begin ticks are absolute in song_data: 0, 96, 192
+    np.testing.assert_allclose(arr[:, midi.BEGIN_TICK], [0, 96, 192], atol=1e-6)
+    np.testing.assert_allclose(arr[:, midi.LENGTH], [96, 48, 48], atol=1e-6)
+    np.testing.assert_allclose(
+        arr[:, midi.FREQ],
+        [midi.tone_to_freq(60), midi.tone_to_freq(64), midi.tone_to_freq(67)],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(arr[:, midi.VELOCITY], [80, 90, 100])
+
+
+def test_song_to_tensor_delta_encoding():
+    song = [[0, 10, 440.0, 64], [96, 10, 440.0, 64], [240, 10, 440.0, 64]]
+    t = midi.song_to_tensor(song, song_length=3)
+    np.testing.assert_allclose(t[:, midi.BEGIN_TICK], [0, 96, 144])
+
+
+def test_generator_shapes():
+    params = cg.init_generator(jax.random.PRNGKey(0), CFG)
+    out = cg.generate(params, jax.random.PRNGKey(1), CFG, batch=3)
+    assert out.shape == (3, 12, 4)
+    real = jax.random.normal(jax.random.PRNGKey(2), (3, 12, 4))
+    tf = cg.generator_teacher_forced(params, jax.random.PRNGKey(3), real, CFG)
+    assert tf.shape == (3, 12, 4)
+
+
+def test_discriminator_shapes():
+    params = cg.init_discriminator(jax.random.PRNGKey(0), CFG)
+    events = jax.random.normal(jax.random.PRNGKey(1), (3, 12, 4))
+    dec, feat = cg.discriminator_forward(params, events, CFG)
+    assert dec.shape == (3, 12)
+    assert feat.shape == (3, 12, 2 * CFG.hidden_dim)
+    assert ((dec > 0) & (dec < 1)).all()
+
+
+def test_pretrain_reduces_mse():
+    tc = CRnnGanTrainConfig(cfg=CFG, batch_size=4, g_lr=5e-3)
+    tr = CRnnGanTrainer(tc, seed=0)
+    data = np.random.default_rng(0).normal(size=(16, 12, 4)).astype(np.float32) * 0.1
+    l0 = tr.pretrain(data, epochs=1)
+    for _ in range(5):
+        l = tr.pretrain(data, epochs=1)
+    assert l < l0, (l0, l)
+
+
+def test_gan_epoch_runs_and_freezing_rule():
+    tc = CRnnGanTrainConfig(cfg=CFG, batch_size=4)
+    tr = CRnnGanTrainer(tc, seed=1)
+    data = np.random.default_rng(1).normal(size=(8, 12, 4)).astype(np.float32)
+    gl, dl, acc = tr.gan_epoch(data)
+    assert np.isfinite(gl) and np.isfinite(dl) and 0.0 <= acc <= 1.0
+
+
+def test_generate_to_midi(tmp_path):
+    from music_tpu.generate.crnngan_generate import generate as gen_midi
+
+    params = cg.init_generator(jax.random.PRNGKey(5), CFG)
+    data = np.abs(np.random.default_rng(2).normal(size=(4, 12, 4))).astype(np.float32)
+    scaler = FeatureScaler(data)
+    events = gen_midi(params, CFG, tmp_path / "gen.mid", scaler=scaler)
+    assert events.shape == (12, 4)
+    # the written file parses back
+    song = midi.midi_to_song_data(tmp_path / "gen.mid")
+    assert len(song) == 12
+
+
+def test_load_midi_dataset(tmp_path):
+    d = tmp_path / "classical" / "bach"
+    events = np.array([[0, 96, midi.tone_to_freq(60), 80]] * 5, np.float32)
+    events[:, 0] = 96
+    midi.events_to_midi(events, d / "a.mid")
+    midi.events_to_midi(events, d / "b.mid")
+    data, metas = midi.load_midi_dataset(tmp_path, song_length=8)
+    assert data.shape == (2, 8, 4)
+    assert metas[0]["genre"] == "classical" and metas[0]["composer"] == "bach"
