@@ -57,18 +57,26 @@ def load_json(path: str | Path) -> dict[str, Any]:
             raise ConfigError(f"cannot parse config {path}: {e}") from e
 
 
+class _Required:
+    """Sentinel: field has no default (dataclasses.MISSING can't be used as
+    an actual default value — dataclass machinery strips it)."""
+
+
+REQUIRED = _Required()
+
+
 @dataclasses.dataclass(frozen=True)
 class Field:
     """One schema entry: a type, an optional default, an optional validator."""
 
     type: type | tuple[type, ...]
-    default: Any = dataclasses.MISSING
+    default: Any = REQUIRED
     validate: Callable[[Any], bool] | None = None
     help: str = ""
 
     @property
     def required(self) -> bool:
-        return self.default is dataclasses.MISSING
+        return self.default is REQUIRED
 
 
 class Schema:

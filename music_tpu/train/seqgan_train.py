@@ -116,10 +116,63 @@ class SeqGanTrainer:
             samples = sg.generate(g_params, key, g_cfg, cfg.batch_size)
             return sg.generator_nll(oracle_params, samples, g_cfg)
 
+        @functools.partial(jax.jit, static_argnames=("d_steps", "d_epochs"))
+        def d_phase(d_params, d_opt, g_params, positive, key, *, d_steps, d_epochs):
+            """The WHOLE discriminator-retraining phase as one program:
+            d_steps x (regenerate negatives -> d_epochs x shuffled minibatch
+            CE epochs) — the reference's seqgan.py:83-93 loop without ~500
+            host round-trips.  Shuffling, minibatching, and optimizer
+            updates all run on-device via nested lax.scan."""
+            N, T = positive.shape
+            B = cfg.batch_size
+            n_batches = (2 * N) // B
+
+            def one_batch(carry, inp):
+                d_params, d_opt = carry
+                tokens_b, labels_b, key_b = inp
+                loss, grads = jax.value_and_grad(sg.discriminator_loss)(
+                    d_params, tokens_b, labels_b, d_cfg, key_b
+                )
+                updates, d_opt = self.d_tx.update(grads, d_opt)
+                return (optax.apply_updates(d_params, updates), d_opt), loss
+
+            def one_epoch(carry, key_e):
+                d_params, d_opt, tokens, labels = carry
+                k_perm, k_drop = jax.random.split(key_e)
+                perm = jax.random.permutation(k_perm, 2 * N)[: n_batches * B]
+                toks = tokens[perm].reshape(n_batches, B, T)
+                labs = labels[perm].reshape(n_batches, B)
+                keys_b = jax.random.split(k_drop, n_batches)
+                (d_params, d_opt), losses = jax.lax.scan(
+                    one_batch, (d_params, d_opt), (toks, labs, keys_b)
+                )
+                return (d_params, d_opt, tokens, labels), losses[-1]
+
+            def one_step(carry, key_s):
+                d_params, d_opt = carry
+                k_gen, k_epochs = jax.random.split(key_s)
+                negative = sg.generate(g_params, k_gen, g_cfg, N)
+                tokens = jnp.concatenate([positive, negative])
+                labels = jnp.concatenate(
+                    [jnp.ones((N,), jnp.int32), jnp.zeros((N,), jnp.int32)]
+                )
+                (d_params, d_opt, _, _), losses = jax.lax.scan(
+                    one_epoch,
+                    (d_params, d_opt, tokens, labels),
+                    jax.random.split(k_epochs, d_epochs),
+                )
+                return (d_params, d_opt), losses[-1]
+
+            (d_params, d_opt), losses = jax.lax.scan(
+                one_step, (d_params, d_opt), jax.random.split(key, d_steps)
+            )
+            return d_params, d_opt, losses[-1]
+
         self._mle_step = mle_step
         self._d_step = d_step
         self._pg_step = pg_step
         self._oracle_nll = oracle_nll
+        self._d_phase = d_phase
 
     # ----- phases ---------------------------------------------------------
 
@@ -161,26 +214,14 @@ class SeqGanTrainer:
     def train_discriminator(
         self, positive: np.ndarray, d_steps: int = 1, epochs: int = 1
     ) -> float:
-        """Regenerate negatives, then CE epochs (seqgan.py:83-93)."""
-        B = self.cfg.batch_size
-        last = 0.0
-        for _ in range(d_steps):
-            negative = self.generator_samples(len(positive))
-            tokens = np.concatenate([positive, negative])
-            labels = np.concatenate(
-                [np.ones(len(positive), np.int32), np.zeros(len(negative), np.int32)]
-            )
-            for _ in range(epochs):
-                perm = np.random.default_rng(1).permutation(len(tokens))
-                for i in range(0, len(tokens) - B + 1, B):
-                    idx = perm[i : i + B]
-                    self.d_params, self.d_opt, loss = self._d_step(
-                        self.d_params, self.d_opt,
-                        jnp.asarray(tokens[idx]), jnp.asarray(labels[idx]),
-                        self.keys.next(),
-                    )
-                    last = float(loss)
-        return last
+        """Regenerate negatives, then CE epochs (seqgan.py:83-93) — the
+        whole phase is ONE device program (see d_phase)."""
+        self.d_params, self.d_opt, loss = self._d_phase(
+            self.d_params, self.d_opt, self.g_params,
+            jnp.asarray(positive, jnp.int32), self.keys.next(),
+            d_steps=d_steps, d_epochs=epochs,
+        )
+        return float(loss)
 
     def adversarial_epoch(self, positive: np.ndarray, g_steps: int = 1, d_steps: int = 5, d_epochs: int = 3):
         """One adversarial round (seqgan.py:160-168): g_steps PG updates with

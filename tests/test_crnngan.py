@@ -107,3 +107,35 @@ def test_load_midi_dataset(tmp_path):
     data, metas = midi.load_midi_dataset(tmp_path, song_length=8)
     assert data.shape == (2, 8, 4)
     assert metas[0]["genre"] == "classical" and metas[0]["composer"] == "bach"
+
+
+def test_midi_scraper_with_injected_fetch(tmp_path):
+    from music_tpu.data.midi_scraper import download, extract_midi_links
+
+    events = np.array([[0, 96, midi.tone_to_freq(60), 80]], np.float32)
+    midi.events_to_midi(events, tmp_path / "src" / "a.mid")
+    payload = (tmp_path / "src" / "a.mid").read_bytes()
+    pages = {
+        "http://x/idx.html": b'<html><a href="files/a.mid">A</a>'
+        b'<a href="other.txt">no</a></html>',
+        "http://x/files/a.mid": payload,
+    }
+    links = extract_midi_links(pages["http://x/idx.html"].decode(), "http://x/idx.html")
+    assert links == ["http://x/files/a.mid"]
+
+    out = download(
+        tmp_path / "corpus",
+        {"classical/bach": ["http://x/idx.html"]},
+        fetch=lambda url: pages[url],
+        delay_seconds=0,
+    )
+    assert len(out) == 1
+    assert out[0].parent.name == "bach"
+    # ledger prevents re-download
+    out2 = download(
+        tmp_path / "corpus",
+        {"classical/bach": ["http://x/idx.html"]},
+        fetch=lambda url: pages[url],
+        delay_seconds=0,
+    )
+    assert out2 == []
