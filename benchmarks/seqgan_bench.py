@@ -29,7 +29,8 @@ def run_ours(generated_num=1024, rollout_num=16, d_steps=5, d_epochs=3) -> float
     float(tr.oracle_nll())
     t0 = time.perf_counter()
     tr.adversarial_epoch(positive, g_steps=1, d_steps=d_steps, d_epochs=d_epochs)
-    # force all device work to finish
+    # force ALL device work (both G and D sides) to reach the host
+    np.asarray(tr.d_params["out"]["w"]).sum()
     float(tr.oracle_nll())
     return time.perf_counter() - t0
 

@@ -15,6 +15,7 @@ optimizer.step() (:129-131,136-138,261-265), the cpkt/ckpt rotation typo
 from __future__ import annotations
 
 import dataclasses
+import functools
 from pathlib import Path
 from typing import Any
 
@@ -108,6 +109,39 @@ class LeakGanTrainer:
             }
             return new_g, m_opt, w_opt, ml, wl
 
+        @functools.partial(jax.jit, static_argnames=("epochs",))
+        def pre_phase(g_params, d_params, m_opt, w_opt, real_data, key, *, epochs):
+            """Generator pretraining epochs fused on-device: shuffled
+            minibatch Manager/Worker updates via nested lax.scan."""
+            N, T = real_data.shape
+            B = self.tc.batch_size
+            n_batches = N // B
+
+            def one_batch(carry, inp):
+                g_params, m_opt, w_opt = carry
+                batch, key_b, dkey_b = inp
+                g_params, m_opt, w_opt, ml, wl = pre_step(
+                    g_params, d_params, m_opt, w_opt, batch, key_b, dkey_b
+                )
+                return (g_params, m_opt, w_opt), (ml, wl)
+
+            def one_epoch(carry, key_e):
+                g_params, m_opt, w_opt = carry
+                k_perm, k_eng, k_drop = jax.random.split(key_e, 3)
+                perm = jax.random.permutation(k_perm, N)[: n_batches * B]
+                batches = real_data[perm].reshape(n_batches, B, T)
+                carry, (mls, wls) = jax.lax.scan(
+                    one_batch, (g_params, m_opt, w_opt),
+                    (batches, jax.random.split(k_eng, n_batches),
+                     jax.random.split(k_drop, n_batches)),
+                )
+                return carry, (mls[-1], wls[-1])
+
+            (g_params, m_opt, w_opt), (mls, wls) = jax.lax.scan(
+                one_epoch, (g_params, m_opt, w_opt), jax.random.split(key, epochs)
+            )
+            return g_params, m_opt, w_opt, mls[-1], wls[-1]
+
         @jax.jit
         def d_step(d_params, d_opt, tokens, labels, dkey):
             loss, grads = jax.value_and_grad(lg.dis_loss)(
@@ -115,6 +149,58 @@ class LeakGanTrainer:
             )
             updates, d_opt = self.d_tx.update(grads, d_opt)
             return optax.apply_updates(d_params, updates), d_opt, loss
+
+        @functools.partial(jax.jit, static_argnames=("epochs",))
+        def d_phase(d_params, d_opt, g_params, real_data, key, *, epochs):
+            """Whole D-retraining phase on-device: regenerate negatives with
+            the current generator, then ``epochs`` shuffled CE epochs — one
+            compiled program instead of per-batch host calls
+            (leak_gan/train.py:168-207, 280-305)."""
+            N, T = real_data.shape
+            B = self.tc.batch_size
+            n_batches = (2 * N) // B
+
+            k_gen, k_tr = jax.random.split(key)
+            n_gen_calls = -(-N // B)
+            negs = []
+            for i in range(n_gen_calls):
+                negs.append(
+                    lg.gen_samples(
+                        g_params, d_params, jax.random.fold_in(k_gen, i), B,
+                        cfg=cfg, temperature=cfg.temperature,
+                    )
+                )
+            negative = jnp.concatenate(negs)[:N]
+            tokens = jnp.concatenate([real_data, negative])
+            labels = jnp.concatenate(
+                [jnp.ones((N,), jnp.int32), jnp.zeros((N,), jnp.int32)]
+            )
+
+            def one_batch(carry, inp):
+                d_params, d_opt = carry
+                toks_b, labs_b, key_b = inp
+                loss, grads = jax.value_and_grad(lg.dis_loss)(
+                    d_params, toks_b, labs_b, cfg, key_b
+                )
+                updates, d_opt = self.d_tx.update(grads, d_opt)
+                return (optax.apply_updates(d_params, updates), d_opt), loss
+
+            def one_epoch(carry, key_e):
+                d_params, d_opt = carry
+                k_perm, k_drop = jax.random.split(key_e)
+                perm = jax.random.permutation(k_perm, 2 * N)[: n_batches * B]
+                toks = tokens[perm].reshape(n_batches, B, T)
+                labs = labels[perm].reshape(n_batches, B)
+                (d_params, d_opt), losses = jax.lax.scan(
+                    one_batch, (d_params, d_opt),
+                    (toks, labs, jax.random.split(k_drop, n_batches)),
+                )
+                return (d_params, d_opt), losses[-1]
+
+            (d_params, d_opt), losses = jax.lax.scan(
+                one_epoch, (d_params, d_opt), jax.random.split(k_tr, epochs)
+            )
+            return d_params, d_opt, losses[-1]
 
         @jax.jit
         def adv_step(g_params, d_params, m_opt, w_opt, key, dkey):
@@ -156,7 +242,9 @@ class LeakGanTrainer:
             return sg.generator_nll(oracle_params, samples, self.oracle_cfg)
 
         self._pre_step = pre_step
+        self._pre_phase = pre_phase
         self._d_step = d_step
+        self._d_phase = d_phase
         self._adv_step = adv_step
         self._oracle_nll = oracle_nll
 
@@ -182,34 +270,28 @@ class LeakGanTrainer:
         return samples
 
     def pretrain_generator(self, real_data: np.ndarray, epochs: int = 1):
-        last = (0.0, 0.0)
-        for epoch in range(epochs):
-            for batch in token_batches(real_data, self.tc.batch_size, seed=epoch):
-                self.g_params, self.m_opt, self.w_opt, ml, wl = self._pre_step(
-                    self.g_params, self.d_params, self.m_opt, self.w_opt,
-                    jnp.asarray(batch, jnp.int32), self.keys.next(), self.keys.next(),
-                )
-                last = (float(ml), float(wl))
-        return last
+        """Interleaved Manager/Worker pretraining — fused epochs."""
+        n = (len(real_data) // self.tc.batch_size) * self.tc.batch_size
+        if n == 0:
+            raise ValueError("real_data smaller than one batch")
+        self.g_params, self.m_opt, self.w_opt, ml, wl = self._pre_phase(
+            self.g_params, self.d_params, self.m_opt, self.w_opt,
+            jnp.asarray(real_data[:n], jnp.int32), self.keys.next(),
+            epochs=epochs,
+        )
+        return float(ml), float(wl)
 
     def pretrain_discriminator(self, real_data: np.ndarray, epochs: int = 1):
-        last = 0.0
-        for epoch in range(epochs):
-            negative = self.generate_samples(len(real_data))
-            tokens = np.concatenate([real_data, negative]).astype(np.int32)
-            labels = np.concatenate(
-                [np.ones(len(real_data), np.int32), np.zeros(len(negative), np.int32)]
-            )
-            for batch_idx in token_batches(
-                np.arange(len(tokens))[:, None], self.tc.batch_size, seed=epoch
-            ):
-                idx = batch_idx[:, 0]
-                self.d_params, self.d_opt, loss = self._d_step(
-                    self.d_params, self.d_opt,
-                    jnp.asarray(tokens[idx]), jnp.asarray(labels[idx]), self.keys.next(),
-                )
-                last = float(loss)
-        return last
+        """Negatives + shuffled CE epochs — one device program per call."""
+        n = (len(real_data) // self.tc.batch_size) * self.tc.batch_size
+        if n == 0:
+            raise ValueError("real_data smaller than one batch")
+        self.d_params, self.d_opt, loss = self._d_phase(
+            self.d_params, self.d_opt, self.g_params,
+            jnp.asarray(real_data[:n], jnp.int32), self.keys.next(),
+            epochs=epochs,
+        )
+        return float(loss)
 
     def adversarial_epoch(self, real_data: np.ndarray, d_steps: int = 5, d_epochs: int = 3):
         """One adversarial round (leak_gan/train.py:210-320): G update with
