@@ -28,14 +28,12 @@ from music_tpu.data import wavio
 
 
 def mu_law_encode_np(audio: np.ndarray, quantization_channels: int = 256) -> np.ndarray:
-    """Host-side (numpy) µ-law encode, same formula as the jitted op
-    (music_tpu/ops/mulaw.py; reference wavenet/data/wav_to_numpy.py:7-23)."""
-    mu = np.float32(quantization_channels - 1)
-    audio = audio.astype(np.float32)
-    safe_abs = np.abs(np.clip(audio, -1.0, 1.0))
-    magnitude = np.log1p(mu * safe_abs) / np.log1p(mu)
-    signal = np.sign(audio) * magnitude
-    return ((signal + 1) / 2 * mu + 0.5).astype(np.int32)
+    """Host-side µ-law encode — native C++ when built, numpy otherwise;
+    same formula as the jitted op (music_tpu/ops/mulaw.py; reference
+    wavenet/data/wav_to_numpy.py:7-23)."""
+    from music_tpu import native
+
+    return native.mulaw_encode(audio, quantization_channels)
 
 
 def build_dataset(
@@ -137,9 +135,11 @@ class AudioWindows:
         return len(self.starts)
 
     def gather(self, idx: np.ndarray) -> np.ndarray:
-        """Vectorized window gather: ``[len(idx), RF+WL]`` int32."""
-        pos = self.starts[idx][:, None] + np.arange(self.window)[None, :]
-        return self.data[pos].astype(np.int32)
+        """Window gather ``[len(idx), RF+WL]`` int32 — native memcpy path
+        when built, vectorized numpy otherwise."""
+        from music_tpu import native
+
+        return native.gather_windows(self.data, self.starts[idx], self.window)
 
     def batches(
         self,
