@@ -72,7 +72,8 @@ def param_specs(cfg: WaveNetConfig, tp: bool) -> dict:
     return specs
 
 
-def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: int):
+def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: int,
+                  compute_dtype=None):
     """Local (per-shard) loss inside shard_map.
 
     ``tokens``: [B_local, RF + WL] — batch sharded over ``data``, replicated
@@ -87,6 +88,11 @@ def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: in
     # rf - 1 + wl_local context tokens starting at s
     tok = jax.lax.dynamic_slice_in_dim(tokens, s, rf + wl_local, axis=1)
     inputs, targets = tok[:, :-1], tok[:, rf:]
+
+    if compute_dtype is not None:
+        # mixed precision: matmuls/activations in compute_dtype (bf16 keeps
+        # the MXU at full rate), master params stay f32, loss math in f32
+        params = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), params)
 
     use_bias = cfg.use_bias
     x = token_causal_conv(inputs, params["causal"], params.get("causal_b") if use_bias else None)
@@ -116,15 +122,17 @@ def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: in
     h = jax.nn.relu(h)
     logits = conv1x1(h, params["post2"], params.get("post2_b") if use_bias else None)
 
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
     # mean over local batch/time, then over data+seq shards (equal weights)
     return jax.lax.pmean(jnp.mean(nll), ("data", "seq"))
 
 
-def make_loss_fn(cfg: WaveNetConfig, mesh: Mesh, window_length: int):
+def make_loss_fn(cfg: WaveNetConfig, mesh: Mesh, window_length: int,
+                 compute_dtype=None):
     """Global scalar loss over the mesh: shard_map of the local loss,
-    differentiable with ``jax.grad`` (backward collectives auto-derived)."""
+    differentiable with ``jax.grad`` (backward collectives auto-derived).
+    ``compute_dtype=jnp.bfloat16`` enables mixed-precision matmuls."""
     sp = mesh.shape["seq"]
     if window_length % sp != 0:
         raise ValueError(f"window_length {window_length} % seq axis {sp} != 0")
@@ -132,7 +140,10 @@ def make_loss_fn(cfg: WaveNetConfig, mesh: Mesh, window_length: int):
     specs = param_specs(cfg, tp)
 
     fn = shard_map(
-        functools.partial(_sharded_loss, cfg=cfg, window_length=window_length, sp=sp),
+        functools.partial(
+            _sharded_loss, cfg=cfg, window_length=window_length, sp=sp,
+            compute_dtype=compute_dtype,
+        ),
         mesh=mesh,
         in_specs=(specs, P("data", None)),
         out_specs=P(),
@@ -140,9 +151,10 @@ def make_loss_fn(cfg: WaveNetConfig, mesh: Mesh, window_length: int):
     return fn, specs
 
 
-def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation, mesh: Mesh, window_length: int):
+def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation, mesh: Mesh,
+                    window_length: int, compute_dtype=None):
     """One compiled update: grads through the sharded loss + optax update."""
-    loss_fn, specs = make_loss_fn(cfg, mesh, window_length)
+    loss_fn, specs = make_loss_fn(cfg, mesh, window_length, compute_dtype)
 
     @jax.jit
     def train_step(state: TrainState, tokens: jax.Array):
@@ -201,7 +213,12 @@ def train(
     state = init_state(keys.next(), cfg, tx, mesh)
     state, start_step = ckpt_lib.restore_or_init(ckpt_dir, state)
 
-    train_step, _ = make_train_step(cfg, tx, mesh, dataset_params["window_length"])
+    compute_dtype = {"bfloat16": jnp.bfloat16, "float32": None}.get(
+        train_params.get("compute_dtype", "float32")
+    )
+    train_step, _ = make_train_step(
+        cfg, tx, mesh, dataset_params["window_length"], compute_dtype
+    )
     batch_sharding = NamedSharding(mesh, P("data", None))
 
     meter, thru = Meter(), Throughput()

@@ -94,3 +94,21 @@ def test_halo_exchange_identity():
         np.testing.assert_array_equal(
             chunk[0, s, 3:], np.asarray(x[0, s * 16 : (s + 1) * 16])
         )
+
+
+def test_bf16_compute_loss_close_to_f32():
+    mesh = make_mesh(MeshSpec(data=2, seq=2, model=2))
+    params = wn.init_params(jax.random.PRNGKey(0), TINY)
+    tokens = _data()
+    f32_fn, specs = wt.make_loss_fn(TINY, mesh, WL)
+    bf16_fn, _ = wt.make_loss_fn(TINY, mesh, WL, compute_dtype=jnp.bfloat16)
+    sharded = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, {k: specs[k] for k in params},
+    )
+    toks = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    l32, lb16 = float(f32_fn(sharded, toks)), float(bf16_fn(sharded, toks))
+    assert abs(l32 - lb16) / abs(l32) < 0.02, (l32, lb16)
+    # grads flow and stay f32
+    grads = jax.grad(bf16_fn)(sharded, toks)
+    assert all(g.dtype == jnp.float32 for g in jax.tree_util.tree_leaves(grads))
