@@ -61,14 +61,26 @@ def cmd_wavenet(args):
 
 
 def cmd_wavenet_ae(args):
-    from music_tpu.train.wavenet_ae_train import train
-
     p = _load_params(Path(args.params_dir or PARAMS_ROOT / "wavenet_autoencoder"))
-    train(
-        model_params=p["model_params"],
-        dataset_params=p["dataset_params"],
-        train_params=p["train_params"],
-    )
+    if args.action == "train":
+        from music_tpu.train.wavenet_ae_train import train
+
+        train(
+            model_params=p["model_params"],
+            dataset_params=p["dataset_params"],
+            train_params=p["train_params"],
+        )
+    else:
+        from music_tpu.generate.wavenet_ae_generate import generate
+        from music_tpu.models.wavenet_ae import WaveNetAEConfig
+
+        cfg = WaveNetAEConfig.from_json(p["model_params"])
+        generate(
+            cfg=cfg, checkpoint_dir=args.checkpoint,
+            source_path=args.source, out_path=args.out,
+            duration=args.duration,
+        )
+        print(f"wrote {args.out}")
 
 
 def cmd_seqgan(args):
@@ -207,8 +219,12 @@ def main(argv=None):
     p.set_defaults(fn=cmd_wavenet)
 
     p = sub.add_parser("wavenet-ae")
-    p.add_argument("action", choices=["train"])
+    p.add_argument("action", choices=["train", "generate"])
     p.add_argument("--params-dir")
+    p.add_argument("--checkpoint")
+    p.add_argument("--source", help="source wav to reconstruct")
+    p.add_argument("--out", default="reconstructed.wav")
+    p.add_argument("--duration", type=float, default=None)
     p.set_defaults(fn=cmd_wavenet_ae)
 
     p = sub.add_parser("seqgan")
