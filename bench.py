@@ -40,7 +40,7 @@ def bench_wavenet_generate(n_steps: int = 16_384) -> tuple[float, float]:
         out = generate_tokens_fused(params, prime, cfg=cfg, n_steps=n_steps)
         return np.asarray(out)
 
-    nonce = int(time.time() * 1000)
+    nonce = int(time.time() * 1000) % 2**31
     run(nonce)  # compile + warm
     t0 = time.perf_counter()
     run(nonce + 1)

@@ -53,7 +53,10 @@ from jax.experimental.pallas import tpu as pltpu
 from music_tpu.models.wavenet import WaveNetConfig
 from music_tpu.ops.conv import conv1x1, dilated_causal_conv, token_causal_conv
 
-N_STREAMS = 8  # sublane dimension — fixed by the f32 tile shape
+N_STREAMS = 8  # default stream count — the f32 (8, 128) tile
+# bf16 variant: 16 streams (native bf16 (16,128) tile), single-pass MXU
+# matmuls instead of multi-pass f32 — higher total throughput, tiny
+# numeric differences (documented in docs/DIVERGENCES.md)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -103,9 +106,11 @@ def _decode_kernel(
     # outputs
     out_ref,         # [(T//128)*8, 128] i32 — block b rows 8b..8b+8 = streams
     # scratch: one shift register per dilation group
-    *rings,          # each [d_g, 8, 128] f32
+    *rings,          # each [d_g, S, 128]
     cfg: WaveNetConfig,
     total: int,
+    n_streams: int,
+    dtype,
 ):
     L = cfg.n_blocks
     Cr, Cd, Cs, Q = (
@@ -114,6 +119,7 @@ def _decode_kernel(
         cfg.skip_channels,
         cfg.quantization_channels,
     )
+    S = n_streams
     groups, lane_of_layer = _grouping(cfg)
     layer_group = {}
     for g, (d, layers) in enumerate(groups):
@@ -124,14 +130,14 @@ def _decode_kernel(
     for g, (d, _) in enumerate(groups):
         rings[g][:] = ring_init_ref[ring_base[g] : ring_base[g] + d]
 
-    q_iota = jax.lax.broadcasted_iota(jnp.int32, (N_STREAMS, Q), 1)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (N_STREAMS, 128), 1)
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (S, Q), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
 
     def step(t, carry):
-        prev_oh, cur_oh, out_row = carry  # [8,Q] f32, [8,Q] f32, [8,128] i32
+        prev_oh, cur_oh, out_row = carry  # [S,Q] dtype, [S,Q] dtype, [S,128] i32
 
         x = jnp.dot(cur_oh, ecur_ref[:], preferred_element_type=jnp.float32)
-        x = x + jnp.dot(prev_oh, eprev_ref[:], preferred_element_type=jnp.float32)
+        x = (x + jnp.dot(prev_oh, eprev_ref[:], preferred_element_type=jnp.float32)).astype(dtype)
 
         taps = []
         slots = []
@@ -148,8 +154,8 @@ def _decode_kernel(
             # prev-tap via zero-padded weights: the matmul extracts the lanes
             fg = jnp.dot(tap, fgp_ref[i], preferred_element_type=jnp.float32)
             fg = fg + jnp.dot(x, fgc_ref[i], preferred_element_type=jnp.float32)
-            z = jnp.tanh(fg[:, :Cd]) * jax.nn.sigmoid(fg[:, Cd:])
-            x = x + jnp.dot(z, densew_ref[i], preferred_element_type=jnp.float32)
+            z = (jnp.tanh(fg[:, :Cd]) * jax.nn.sigmoid(fg[:, Cd:])).astype(dtype)
+            x = (x + jnp.dot(z, densew_ref[i], preferred_element_type=jnp.float32)).astype(dtype)
             zs.append(z)
 
         # overwrite each group's slot with the current activations
@@ -157,24 +163,28 @@ def _decode_kernel(
             pieces = [xs[i] for i in layers]
             pad = 128 - len(layers) * Cr
             if pad:
-                pieces.append(jnp.zeros((N_STREAMS, pad), jnp.float32))
+                pieces.append(jnp.zeros((S, pad), dtype))
             new_tile = jnp.concatenate(pieces, axis=1)  # [8, 128]
             rings[g][pl.ds(slots[g], 1)] = new_tile[None]
 
-        z_all = jnp.concatenate(zs, axis=1)  # [8, L*Cd] (layer-major)
-        h = jax.nn.relu(jnp.dot(z_all, skipw_ref[:], preferred_element_type=jnp.float32))
-        h = jax.nn.relu(jnp.dot(h, post1_ref[:], preferred_element_type=jnp.float32))
-        logits = jnp.dot(h, post2_ref[:], preferred_element_type=jnp.float32)  # [8, Q]
+        z_all = jnp.concatenate(zs, axis=1)  # [S, L*Cd] (layer-major)
+        h = jax.nn.relu(
+            jnp.dot(z_all, skipw_ref[:], preferred_element_type=jnp.float32)
+        ).astype(dtype)
+        h = jax.nn.relu(
+            jnp.dot(h, post1_ref[:], preferred_element_type=jnp.float32)
+        ).astype(dtype)
+        logits = jnp.dot(h, post2_ref[:], preferred_element_type=jnp.float32)  # [S, Q] f32
 
-        next_tok = jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)  # [8,1]
-        next_oh = (q_iota == next_tok).astype(jnp.float32)  # [8, Q]
+        next_tok = jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)  # [S,1]
+        next_oh = (q_iota == next_tok).astype(dtype)  # [S, Q]
 
         out_row = jnp.where(lane_iota == (t % 128), next_tok, out_row)
 
         @pl.when(t % 128 == 127)
         def _():
-            base = pl.multiple_of((t // 128) * 8, 8)
-            out_ref[pl.ds(base, 8), :] = out_row
+            base = pl.multiple_of((t // 128) * S, 8)
+            out_ref[pl.ds(base, S), :] = out_row
 
         return cur_oh, next_oh, out_row
 
@@ -182,11 +192,11 @@ def _decode_kernel(
         0,
         total,
         step,
-        (prev0_ref[:], cur0_ref[:], jnp.zeros((N_STREAMS, 128), jnp.int32)),
+        (prev0_ref[:], cur0_ref[:], jnp.zeros((S, 128), jnp.int32)),
     )
 
 
-def _build_kernel_weights(params: dict, cfg: WaveNetConfig):
+def _build_kernel_weights(params: dict, cfg: WaveNetConfig, dtype=jnp.float32):
     """Repack the model pytree into the kernel's layouts."""
     L, Cr, Cd, Cs = (
         cfg.n_blocks,
@@ -201,7 +211,7 @@ def _build_kernel_weights(params: dict, cfg: WaveNetConfig):
     for i in range(L):
         off = lane_of_layer[i]
         fgp = fgp.at[i, off : off + Cr].set(params["fg"][i, 0])
-    return {
+    w = {
         "ecur": params["causal"][1],   # [Q, Cr] — tap on current token
         "eprev": params["causal"][0],  # [Q, Cr] — tap on previous token
         "fgp": fgp,
@@ -211,6 +221,7 @@ def _build_kernel_weights(params: dict, cfg: WaveNetConfig):
         "post1": params["post1"],
         "post2": params["post2"],
     }
+    return {k: v.astype(dtype) for k, v in w.items()}
 
 
 def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig):
@@ -220,7 +231,7 @@ def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig):
     Invariant entering kernel step 0: group ``g``'s slot ``s`` holds layer
     inputs at absolute time ``P - d_g + s`` (P = prime length), so step
     ``t``'s read of slot ``t mod d_g`` yields time ``P + t - d_g``.
-    Requires ``P >= receptive_field + max_dilation`` and batch == N_STREAMS.
+    Requires ``P >= receptive_field + max_dilation``; batch = stream count.
     """
     L, Cr, Q = cfg.n_blocks, cfg.residual_channels, cfg.quantization_channels
     D_max = max(cfg.dilations)
@@ -243,15 +254,16 @@ def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig):
         streams.append(x)
         offsets.append(offsets[-1] + d)
 
+    S = prime.shape[0]
     total_tiles = sum(d for d, _ in groups)
-    init = jnp.zeros((total_tiles, N_STREAMS, 128), jnp.float32)
+    init = jnp.zeros((total_tiles, S, 128), jnp.float32)
     base = 0
     for g, (d, layers) in enumerate(groups):
         for i in layers:
             s, o = streams[i], offsets[i]
             # slot k (k=0..d-1) <- abs time P - d + k
-            seg = s[:, P - d - o : P - o, :]               # [8, d, Cr]
-            seg = jnp.swapaxes(seg, 0, 1)                  # [d, 8, Cr]
+            seg = s[:, P - d - o : P - o, :]               # [S, d, Cr]
+            seg = jnp.swapaxes(seg, 0, 1)                  # [d, S, Cr]
             lane = lane_of_layer[i]
             init = init.at[base : base + d, :, lane : lane + Cr].set(seg)
         base += d
@@ -266,7 +278,9 @@ def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig):
     return init, cur0, prev0, s0
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_steps", "interpret", "n_streams", "dtype")
+)
 def generate_tokens_fused(
     params: dict,
     prime: jax.Array,
@@ -274,11 +288,15 @@ def generate_tokens_fused(
     cfg: WaveNetConfig,
     n_steps: int,
     interpret: bool = False,
+    n_streams: int = N_STREAMS,
+    dtype=jnp.float32,
 ) -> jax.Array:
     """Generate ``n_steps`` codes per stream (greedy) after priming.
 
-    ``prime``: ``[B, P]`` int codes with ``B <= 8``; rows are independent
-    streams (padded internally to 8).  Returns ``[B, n_steps]``.
+    ``prime``: ``[B, P]`` int codes with ``B <= n_streams``; rows are
+    independent streams (padded internally).  Returns ``[B, n_steps]``.
+    ``dtype=jnp.bfloat16`` with ``n_streams=16`` uses the native bf16 tile
+    and single-pass MXU matmuls (small numeric differences vs f32).
 
     Semantics match :func:`music_tpu.models.wavenet.generate_tokens` with
     ``sample_mode='argmax'`` (verified in tests/test_pallas_decode.py).
@@ -286,27 +304,31 @@ def generate_tokens_fused(
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
     B = prime.shape[0]
-    if B > N_STREAMS:
-        raise ValueError(f"at most {N_STREAMS} streams, got {B}")
-    if B < N_STREAMS:
+    S = n_streams
+    if B > S:
+        raise ValueError(f"at most {S} streams, got {B}")
+    if B < S:
         prime = jnp.concatenate(
-            [prime, jnp.tile(prime[-1:], (N_STREAMS - B, 1))], axis=0
+            [prime, jnp.tile(prime[-1:], (S - B, 1))], axis=0
         )
     groups, _ = _grouping(cfg)
 
     ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, cfg)
-    w = _build_kernel_weights(params, cfg)
+    ring0, cur0, prev0 = ring0.astype(dtype), cur0.astype(dtype), prev0.astype(dtype)
+    w = _build_kernel_weights(params, cfg, dtype)
 
     total = _round_up(n_steps, 128)
-    kernel = functools.partial(_decode_kernel, cfg=cfg, total=total)
+    kernel = functools.partial(
+        _decode_kernel, cfg=cfg, total=total, n_streams=S, dtype=dtype
+    )
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(((total // 128) * 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(((total // 128) * S, 128), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((d, N_STREAMS, 128), jnp.float32) for d, _ in groups
+            pltpu.VMEM((d, S, 128), dtype) for d, _ in groups
         ],
         interpret=interpret,
     )(
@@ -315,8 +337,8 @@ def generate_tokens_fused(
         w["post1"], w["post2"],
     )
     # out rows: block b holds streams at times [128b, 128(b+1))
-    toks = out.reshape(total // 128, N_STREAMS, 128)
-    toks = jnp.swapaxes(toks, 0, 1).reshape(N_STREAMS, total)[:, :n_steps]
+    toks = out.reshape(total // 128, S, 128)
+    toks = jnp.swapaxes(toks, 0, 1).reshape(S, total)[:, :n_steps]
     # the kernel consumes s_0 at step 0 and emits s_1..; the generated stream
     # starts at s_0
     return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]

@@ -40,3 +40,20 @@ def test_fused_decode_nonmultiple_of_128():
     out = generate_tokens_fused(params, prime, cfg=TINY, n_steps=37, interpret=True)
     assert out.shape == (1, 37)
     assert (out >= 0).all() and (out < 32).all()
+
+
+def test_fused_decode_16_stream_bf16_mode_interpret():
+    """The parametrized (n_streams=16, bf16) mode runs and produces valid
+    tokens (exactness vs f32 is not expected; distributional parity is
+    verified on hardware in benchmarks)."""
+    import jax.numpy as jnp
+
+    params = wn.init_params(jax.random.PRNGKey(7), TINY)
+    P = TINY.receptive_field + max(TINY.dilations)
+    prime = jax.random.randint(jax.random.PRNGKey(8), (3, P), 0, 32)
+    out = generate_tokens_fused(
+        params, prime, cfg=TINY, n_steps=20, interpret=True,
+        n_streams=16, dtype=jnp.bfloat16,
+    )
+    assert out.shape == (3, 20)
+    assert (out >= 0).all() and (out < 32).all()
