@@ -89,6 +89,33 @@ class SeqGanTrainer:
             updates, opt_state = self.g_tx.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
 
+        @functools.partial(jax.jit, static_argnames=("epochs",))
+        def mle_phase(params, opt_state, positive, key, *, epochs):
+            """MLE pretraining epochs fused on-device (shuffle + minibatch
+            scan), mirroring d_phase."""
+            N, T = positive.shape
+            B = cfg.batch_size
+            n_batches = N // B
+
+            def one_batch(carry, tokens_b):
+                params, opt_state = carry
+                (params, opt_state, loss) = mle_step(params, opt_state, tokens_b)
+                return (params, opt_state), loss
+
+            def one_epoch(carry, key_e):
+                params, opt_state = carry
+                perm = jax.random.permutation(key_e, N)[: n_batches * B]
+                batches = positive[perm].reshape(n_batches, B, T)
+                (params, opt_state), losses = jax.lax.scan(
+                    one_batch, (params, opt_state), batches
+                )
+                return (params, opt_state), losses[-1]
+
+            (params, opt_state), losses = jax.lax.scan(
+                one_epoch, (params, opt_state), jax.random.split(key, epochs)
+            )
+            return params, opt_state, losses[-1]
+
         @jax.jit
         def d_step(params, opt_state, tokens, labels, key):
             loss, grads = jax.value_and_grad(sg.discriminator_loss)(
@@ -169,6 +196,7 @@ class SeqGanTrainer:
             return d_params, d_opt, losses[-1]
 
         self._mle_step = mle_step
+        self._mle_phase = mle_phase
         self._d_step = d_step
         self._pg_step = pg_step
         self._oracle_nll = oracle_nll
@@ -198,18 +226,15 @@ class SeqGanTrainer:
         return np.concatenate(out)[:n]
 
     def pretrain_generator(self, positive: np.ndarray, epochs: int = 1) -> float:
-        """MLE pretraining (seqgan.py:78-81)."""
-        B = self.cfg.batch_size
-        last = 0.0
-        for _ in range(epochs):
-            perm = np.random.default_rng(0).permutation(len(positive))
-            for i in range(0, len(positive) - B + 1, B):
-                batch = jnp.asarray(positive[perm[i : i + B]])
-                self.g_params, self.g_opt, loss = self._mle_step(
-                    self.g_params, self.g_opt, batch
-                )
-                last = float(loss)
-        return last
+        """MLE pretraining (seqgan.py:78-81) — fused epochs on-device."""
+        n = (len(positive) // self.cfg.batch_size) * self.cfg.batch_size
+        if n == 0:
+            raise ValueError("positive data smaller than one batch")
+        self.g_params, self.g_opt, loss = self._mle_phase(
+            self.g_params, self.g_opt, jnp.asarray(positive[:n], jnp.int32),
+            self.keys.next(), epochs=epochs,
+        )
+        return float(loss)
 
     def train_discriminator(
         self, positive: np.ndarray, d_steps: int = 1, epochs: int = 1
