@@ -34,9 +34,11 @@ def generate(
     duration: float | None = None,
     sample_mode: str = "argmax",
     seed: int = 0,
+    backend: str = "fused",
 ) -> np.ndarray:
     """Reconstruct ``source`` through the bottleneck; write the decoded
-    audio to ``out_path``.  ``duration`` limits the output length."""
+    audio to ``out_path``.  ``duration`` limits the output length.
+    ``backend``: "fused" (conditioned Pallas kernel, argmax) or "scan"."""
     if params is None:
         if checkpoint_dir is None:
             raise ValueError("need params or checkpoint_dir")
@@ -53,12 +55,22 @@ def generate(
     encoding = ae.encode(params, tokens, cfg)
 
     n_steps = len(codes) if duration is None else min(int(duration * sr), len(codes))
-    prime_len = min(cfg.receptive_field, tokens.shape[1])
-    prime = tokens[:, :prime_len]
-    out_codes = ae.generate_tokens(
-        params, encoding, prime, jax.random.PRNGKey(seed),
-        cfg=cfg, n_steps=n_steps, sample_mode=sample_mode,
-    )
+    fused_min = cfg.receptive_field + max(cfg.dilations)
+    if backend == "fused" and sample_mode == "argmax" and tokens.shape[1] >= fused_min:
+        from music_tpu.kernels.wavenet_ae_decode import generate_tokens_fused
+
+        prime = tokens[:, :fused_min]
+        out_codes = generate_tokens_fused(
+            params, encoding, prime, cfg=cfg, n_steps=n_steps,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        prime_len = min(cfg.receptive_field, tokens.shape[1])
+        prime = tokens[:, :prime_len]
+        out_codes = ae.generate_tokens(
+            params, encoding, prime, jax.random.PRNGKey(seed),
+            cfg=cfg, n_steps=n_steps, sample_mode=sample_mode,
+        )
     audio = np.asarray(mu_law_decode(out_codes[0], cfg.quantization_channel))
     wavio.write_wav(out_path, audio, sr)
     return audio

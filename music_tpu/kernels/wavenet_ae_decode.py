@@ -1,0 +1,331 @@
+"""Fused conditioned decode for the WaveNet autoencoder — one Pallas kernel.
+
+Same architecture as :mod:`music_tpu.kernels.wavenet_decode` (per-dilation
+ring buffers of aligned tiles, one-hot token embedding, batched skip GEMM,
+lane-masked output) plus NSynth-style global conditioning
+(wavenet_autoencoder/model1.py:183,216-219): each residual block's
+filter/gate preactivation and the post-process stage receive a bias derived
+from the bottleneck encoding frame covering the current timestep.
+
+Conditioning the TPU way: the per-frame projected biases
+(``encoding @ cond_fg`` / ``encoding @ cond_post``) are precomputed outside
+and shipped as ``[F, L*2Cd]`` / ``[F, Cs]`` VMEM tables.  A frame spans
+``pool`` samples, so inside the kernel the current row is materialized into
+persistent VMEM scratch only on frame boundaries — via a one-hot
+``(iota == t // pool)`` MXU matmul (the same trick as token embedding; no
+dynamic sublane reads, no broadcasts), under ``@pl.when(t % pool == 0)``.
+
+Reference contrast: wavenet_autoencoder/generate.py re-runs a full
+receptive-field forward per sample (and its conditioning projections are
+untrained per-call modules — docs/DIVERGENCES.md #10).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from music_tpu.models.wavenet_ae import WaveNetAEConfig
+from music_tpu.ops.conv import conv1x1, dilated_causal_conv, token_causal_conv
+
+N_STREAMS = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _grouping(cfg: WaveNetAEConfig):
+    Cr = cfg.de_residual_channel
+    order: list[int] = []
+    members: dict[int, list[int]] = {}
+    for i, d in enumerate(cfg.dilations):
+        if d not in members:
+            members[d] = []
+            order.append(d)
+        members[d].append(i)
+    groups = [(d, members[d]) for d in order]
+    lane_of_layer = {}
+    for d, layers in groups:
+        if len(layers) * Cr > 128:
+            raise NotImplementedError("group exceeds one 128-lane row")
+        for k, i in enumerate(layers):
+            lane_of_layer[i] = k * Cr
+    return groups, lane_of_layer
+
+
+def _build_kernel_weights(params: dict, cfg: WaveNetAEConfig, dtype):
+    L, Cr, Cd, Cs = (
+        cfg.n_blocks,
+        cfg.de_residual_channel,
+        cfg.de_dilation_channel,
+        cfg.de_skip_channel,
+    )
+    _, lane_of_layer = _grouping(cfg)
+    fgp = jnp.zeros((L, 128, 2 * Cd), jnp.float32)
+    for i in range(L):
+        off = lane_of_layer[i]
+        fgp = fgp.at[i, off : off + Cr].set(params["fg"][i, 0])
+    w = {
+        "ecur": params["de_causal"][1],
+        "eprev": params["de_causal"][0],
+        "fgp": fgp,
+        "fgc": params["fg"][:, 1],
+        "densew": params["dense"],
+        "skipw": params["skip"].reshape(L * Cd, Cs),
+        "post1": params["conn1"],
+        "post2": params["conn2"],
+    }
+    return {k: v.astype(dtype) for k, v in w.items()}
+
+
+def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
+                         cfg: WaveNetAEConfig):
+    """Parallel prime over the conditioned decoder; extracts ring init tiles
+    (slot k of group g <- abs time P - d_g + k) and boot one-hots."""
+    L, Cr, Q = cfg.n_blocks, cfg.de_residual_channel, cfg.quantization_channel
+    Cd = cfg.de_dilation_channel
+    D_max = max(cfg.dilations)
+    P = prime.shape[1]
+    need = cfg.receptive_field + D_max
+    if P < need:
+        raise ValueError(f"prime length {P} < receptive_field + max_dilation = {need}")
+    groups, lane_of_layer = _grouping(cfg)
+
+    x = token_causal_conv(prime, params["de_causal"])
+    streams = [x]
+    offsets = [1]
+    z_last = []  # each layer's gated activation at absolute time P-1
+    for i, d in enumerate(cfg.dilations):
+        fg = dilated_causal_conv(x, params["fg"][i], dilation=d)
+        # conditioning aligned to absolute time: activation index j of this
+        # stream is abs time j + offsets[-1] + d — matching the scan
+        # decoder's frame = t // pool semantics
+        o = offsets[-1] + d
+        frames = jnp.minimum(
+            (jnp.arange(fg.shape[1]) + o) // cfg.en_pool_kernel_size,
+            encoding.shape[1] - 1,
+        )
+        cond = jnp.take(
+            jnp.einsum("bfw,wc->bfc", encoding, params["cond_fg"][i]), frames, axis=1
+        )
+        fg = fg + cond
+        z = jnp.tanh(fg[..., Cd:]) * jax.nn.sigmoid(fg[..., :Cd])
+        z_last.append(z[:, P - 1 - o, :])
+        x = conv1x1(z, params["dense"][i]) + x[:, -fg.shape[1]:, :]
+        streams.append(x)
+        offsets.append(o)
+
+    S = prime.shape[0]
+    total_tiles = sum(d for d, _ in groups)
+    init = jnp.zeros((total_tiles, S, 128), jnp.float32)
+    base = 0
+    for g, (d, layers) in enumerate(groups):
+        for i in layers:
+            s, o = streams[i], offsets[i]
+            seg = s[:, P - d - o : P - o, :]
+            seg = jnp.swapaxes(seg, 0, 1)
+            lane = lane_of_layer[i]
+            init = init.at[base : base + d, :, lane : lane + Cr].set(seg)
+        base += d
+
+    # first sampled token s_0 from the prime streams (same absolute-time
+    # conditioning as the kernel; the model's decode() uses ratio-based
+    # upsampling and would disagree on frame boundaries)
+    Cs = cfg.de_skip_channel
+    z_all = jnp.concatenate(z_last, axis=-1)  # [S, L*Cd]
+    h = jax.nn.relu(z_all @ params["skip"].reshape(-1, Cs))
+    frame_last = min((P - 1) // cfg.en_pool_kernel_size, encoding.shape[1] - 1)
+    cond_post_last = jnp.einsum(
+        "bw,wc->bc", encoding[:, frame_last], params["cond_post"]
+    )
+    h = jax.nn.relu(h @ params["conn1"] + cond_post_last)
+    logits = h @ params["conn2"]
+    s0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    cur0 = jax.nn.one_hot(s0, Q, dtype=jnp.float32)
+    prev0 = jax.nn.one_hot(prime[:, -1], Q, dtype=jnp.float32)
+    return init, cur0, prev0, s0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret", "dtype"))
+def generate_tokens_fused(
+    params: dict,
+    encoding: jax.Array,
+    prime: jax.Array,
+    *,
+    cfg: WaveNetAEConfig,
+    n_steps: int,
+    interpret: bool = False,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Conditioned fused decode: ``n_steps`` codes per stream after priming.
+
+    ``encoding``: [B, F, W] bottleneck frames (from models.wavenet_ae.encode);
+    frame alignment is absolute-time: decode position ``prime_len + t`` uses
+    frame ``(prime_len + t) // pool``.
+    """
+    if cfg.filter_width != 2:
+        raise NotImplementedError("fused decode assumes filter_width=2")
+    B, P = prime.shape
+    S = N_STREAMS
+    if B > S:
+        raise ValueError(f"at most {S} streams, got {B}")
+    if B < S:
+        pad = S - B
+        prime = jnp.concatenate([prime, jnp.tile(prime[-1:], (pad, 1))], axis=0)
+        encoding = jnp.concatenate(
+            [encoding, jnp.tile(encoding[-1:], (pad, 1, 1))], axis=0
+        )
+    groups, _ = _grouping(cfg)
+
+    ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, encoding, cfg)
+    w = _build_kernel_weights(params, cfg, dtype)
+    # per-frame bias tables: conditioning is per-stream, so the frame axis
+    # is S*F with stream s's frames at rows [s*F, (s+1)*F) and the kernel's
+    # one-hot compares each sublane s against s*F + frame.
+    F = encoding.shape[1]
+    cond_fg = jnp.einsum("bfw,lwc->bflc", encoding, params["cond_fg"])
+    cond_fg = cond_fg.reshape(S * F, cfg.n_blocks * 2 * cfg.de_dilation_channel)
+    cond_post = jnp.einsum("bfw,wc->bfc", encoding, params["cond_post"])
+    cond_post = cond_post.reshape(S * F, cfg.de_skip_channel)
+
+    total = _round_up(n_steps, 128)
+    kernel = functools.partial(
+        _ae_kernel_wrapper, cfg=cfg, total=total, t0_frame_offset=P, F=F, dtype=dtype
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(((total // 128) * S, 128), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((d, S, 128), dtype) for d, _ in groups]
+        + [
+            pltpu.VMEM((S, cfg.n_blocks * 2 * cfg.de_dilation_channel), dtype),
+            pltpu.VMEM((S, cfg.de_skip_channel), dtype),
+        ],
+        interpret=interpret,
+    )(
+        ring0.astype(dtype), cur0.astype(dtype), prev0.astype(dtype),
+        w["ecur"], w["eprev"], w["fgp"], w["fgc"], w["densew"], w["skipw"],
+        w["post1"], w["post2"],
+        cond_fg.astype(dtype), cond_post.astype(dtype),
+    )
+    toks = out.reshape(total // 128, S, 128)
+    toks = jnp.swapaxes(toks, 0, 1).reshape(S, total)[:, :n_steps]
+    return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]
+
+
+def _ae_kernel_wrapper(*refs, cfg, total, t0_frame_offset, F, dtype):
+    """Adapter handling the per-stream conditioning one-hot: stream s's
+    frame f lives at row s*F + f of the cond tables, so the one-hot compares
+    against ``s*F + frame`` per sublane."""
+    (ring_init_ref, cur0_ref, prev0_ref, ecur_ref, eprev_ref, fgp_ref,
+     fgc_ref, densew_ref, skipw_ref, post1_ref, post2_ref,
+     condfg_ref, condpost_ref, out_ref, *scratch) = refs
+
+    L = cfg.n_blocks
+    Cr, Cd, Cs, Q = (
+        cfg.de_residual_channel,
+        cfg.de_dilation_channel,
+        cfg.de_skip_channel,
+        cfg.quantization_channel,
+    )
+    S = N_STREAMS
+    pool = cfg.en_pool_kernel_size
+    groups, lane_of_layer = _grouping(cfg)
+    layer_group = {}
+    for g, (d, layers) in enumerate(groups):
+        for i in layers:
+            layer_group[i] = g
+    rings = scratch[: len(groups)]
+    cond_fg_cur, cond_post_cur = scratch[len(groups)], scratch[len(groups) + 1]
+    ring_base = list(np.cumsum([0] + [d for d, _ in groups[:-1]]))
+
+    for g, (d, _) in enumerate(groups):
+        rings[g][:] = ring_init_ref[ring_base[g] : ring_base[g] + d]
+
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (S, Q), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+    # per-stream frame rows: stream s compares against s*F + frame
+    sf_iota = jax.lax.broadcasted_iota(jnp.int32, (S, S * F), 1)
+    stream_base = jax.lax.broadcasted_iota(jnp.int32, (S, S * F), 0) * F
+
+    def refresh_cond(t):
+        frame = jnp.minimum((t + t0_frame_offset) // pool, F - 1)
+        onehot = (sf_iota == stream_base + frame).astype(dtype)  # [S, S*F]
+        cond_fg_cur[:] = jnp.dot(
+            onehot, condfg_ref[:], preferred_element_type=jnp.float32
+        ).astype(dtype)
+        cond_post_cur[:] = jnp.dot(
+            onehot, condpost_ref[:], preferred_element_type=jnp.float32
+        ).astype(dtype)
+
+    def step(t, carry):
+        prev_oh, cur_oh, out_row = carry
+
+        @pl.when((t + t0_frame_offset) % pool == 0)
+        def _():
+            refresh_cond(t)
+
+        @pl.when(t == 0)
+        def _():
+            refresh_cond(t)
+
+        x = jnp.dot(cur_oh, ecur_ref[:], preferred_element_type=jnp.float32)
+        x = (x + jnp.dot(prev_oh, eprev_ref[:], preferred_element_type=jnp.float32)).astype(dtype)
+
+        taps = []
+        slots = []
+        for g, (d, layers) in enumerate(groups):
+            slot = t % d if d > 1 else 0
+            slots.append(slot)
+            taps.append(rings[g][pl.ds(slot, 1)][0])
+
+        xs = []
+        zs = []
+        for i in range(L):
+            tap = taps[layer_group[i]]
+            xs.append(x)
+            fg = jnp.dot(tap, fgp_ref[i], preferred_element_type=jnp.float32)
+            fg = fg + jnp.dot(x, fgc_ref[i], preferred_element_type=jnp.float32)
+            fg = fg + cond_fg_cur[:, i * 2 * Cd : (i + 1) * 2 * Cd]
+            # reference gate split: gate first half, filter second
+            z = (jnp.tanh(fg[:, Cd:]) * jax.nn.sigmoid(fg[:, :Cd])).astype(dtype)
+            x = (x + jnp.dot(z, densew_ref[i], preferred_element_type=jnp.float32)).astype(dtype)
+            zs.append(z)
+
+        for g, (d, layers) in enumerate(groups):
+            pieces = [xs[i] for i in layers]
+            pad = 128 - len(layers) * Cr
+            if pad:
+                pieces.append(jnp.zeros((S, pad), dtype))
+            rings[g][pl.ds(slots[g], 1)] = jnp.concatenate(pieces, axis=1)[None]
+
+        z_all = jnp.concatenate(zs, axis=1)
+        h = jax.nn.relu(jnp.dot(z_all, skipw_ref[:], preferred_element_type=jnp.float32)).astype(dtype)
+        h = jnp.dot(h, post1_ref[:], preferred_element_type=jnp.float32) + cond_post_cur[:]
+        h = jax.nn.relu(h).astype(dtype)
+        logits = jnp.dot(h, post2_ref[:], preferred_element_type=jnp.float32)
+
+        next_tok = jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)
+        next_oh = (q_iota == next_tok).astype(dtype)
+
+        out_row = jnp.where(lane_iota == (t % 128), next_tok, out_row)
+
+        @pl.when(t % 128 == 127)
+        def _():
+            base = pl.multiple_of((t // 128) * S, 8)
+            out_ref[pl.ds(base, S), :] = out_row
+
+        return cur_oh, next_oh, out_row
+
+    jax.lax.fori_loop(
+        0, total, step,
+        (prev0_ref[:], cur0_ref[:], jnp.zeros((S, 128), jnp.int32)),
+    )

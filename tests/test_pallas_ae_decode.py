@@ -1,0 +1,38 @@
+"""Fused conditioned AE decode vs the scan decoder (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from music_tpu.kernels.wavenet_ae_decode import generate_tokens_fused
+from music_tpu.models import wavenet_ae as ae
+
+TINY = ae.WaveNetAEConfig(
+    filter_width=2,
+    dilations=(1, 2, 4, 8, 1, 2, 4, 8),
+    en_residual_channel=8,
+    en_dilation_channel=8,
+    de_residual_channel=8,
+    de_dilation_channel=8,
+    de_skip_channel=16,
+    en_bottleneck_width=12,
+    en_pool_kernel_size=16,
+    quantization_channel=32,
+)
+
+
+def test_fused_ae_decode_matches_scan():
+    params = ae.init_params(jax.random.PRNGKey(0), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 8  # 47; frame size 16
+    prime = jax.random.randint(jax.random.PRNGKey(1), (2, P), 0, 32)
+    F = 12
+    encoding = jax.random.normal(jax.random.PRNGKey(2), (2, F, 12)) * 0.3
+
+    ref = ae.generate_tokens(
+        params, encoding, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=100, sample_mode="argmax",
+    )
+    fused = generate_tokens_fused(
+        params, encoding, prime, cfg=TINY, n_steps=100, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
