@@ -60,12 +60,16 @@ def generate(
     prime = jnp.asarray(start_piece, jnp.int32)[None, :]
 
     n_steps = int(duration * sr)
-    if backend == "fused" and sample_mode == "argmax" and prime.shape[1] >= prime_len:
+    on_tpu = jax.default_backend() == "tpu"
+    # fused categorical needs the on-chip PRNG (TPU only)
+    fused_ok = sample_mode == "argmax" or (sample_mode == "categorical" and on_tpu)
+    if backend == "fused" and fused_ok and prime.shape[1] >= prime_len:
         from music_tpu.kernels.wavenet_decode import generate_tokens_fused
 
         codes = generate_tokens_fused(
             params, prime, cfg=cfg, n_steps=n_steps,
-            interpret=jax.default_backend() != "tpu",
+            interpret=not on_tpu,
+            sample_mode=sample_mode, temperature=temperature, seed=seed,
         )
     else:
         codes = wn.generate_tokens(

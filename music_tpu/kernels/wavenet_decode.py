@@ -103,14 +103,17 @@ def _decode_kernel(
     skipw_ref,       # [L*Cd, Cs] f32
     post1_ref,       # [Cs, Cs] f32
     post2_ref,       # [Cs, Q] f32
+    seed_ref,        # SMEM [1] i32 — PRNG seed (categorical mode)
     # outputs
-    out_ref,         # [(T//128)*8, 128] i32 — block b rows 8b..8b+8 = streams
+    out_ref,         # [(T//128)*S, 128] i32 — block b rows S*b..S*(b+1) = streams
     # scratch: one shift register per dilation group
     *rings,          # each [d_g, S, 128]
     cfg: WaveNetConfig,
     total: int,
     n_streams: int,
     dtype,
+    sample_mode: str,
+    temperature: float,
 ):
     L = cfg.n_blocks
     Cr, Cd, Cs, Q = (
@@ -132,6 +135,21 @@ def _decode_kernel(
 
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (S, Q), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+    if sample_mode == "categorical":
+        pltpu.prng_seed(seed_ref[0])
+
+    def sample(logits):
+        """Greedy argmax, or Gumbel-max categorical with temperature using
+        the on-chip PRNG (uniforms via the mantissa bitcast trick)."""
+        if sample_mode == "categorical":
+            bits = pltpu.bitcast(pltpu.prng_random_bits((S, Q)), jnp.uint32)
+            mant = jnp.bitwise_or(
+                jnp.right_shift(bits, jnp.uint32(9)), jnp.uint32(0x3F800000)
+            )
+            u = pltpu.bitcast(mant, jnp.float32) - 1.0  # [0, 1)
+            gumbel = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
+            logits = logits / temperature + gumbel
+        return jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)
 
     def step(t, carry):
         prev_oh, cur_oh, out_row = carry  # [S,Q] dtype, [S,Q] dtype, [S,128] i32
@@ -176,7 +194,7 @@ def _decode_kernel(
         ).astype(dtype)
         logits = jnp.dot(h, post2_ref[:], preferred_element_type=jnp.float32)  # [S, Q] f32
 
-        next_tok = jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)  # [S,1]
+        next_tok = sample(logits)  # [S, 1]
         next_oh = (q_iota == next_tok).astype(dtype)  # [S, Q]
 
         out_row = jnp.where(lane_iota == (t % 128), next_tok, out_row)
@@ -279,7 +297,11 @@ def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_steps", "interpret", "n_streams", "dtype")
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_steps", "interpret", "n_streams", "dtype", "sample_mode",
+        "temperature",
+    ),
 )
 def generate_tokens_fused(
     params: dict,
@@ -290,6 +312,9 @@ def generate_tokens_fused(
     interpret: bool = False,
     n_streams: int = N_STREAMS,
     dtype=jnp.float32,
+    sample_mode: str = "argmax",
+    temperature: float = 1.0,
+    seed: int = 0,
 ) -> jax.Array:
     """Generate ``n_steps`` codes per stream (greedy) after priming.
 
@@ -297,6 +322,9 @@ def generate_tokens_fused(
     independent streams (padded internally).  Returns ``[B, n_steps]``.
     ``dtype=jnp.bfloat16`` with ``n_streams=16`` uses the native bf16 tile
     and single-pass MXU matmuls (small numeric differences vs f32).
+    ``sample_mode="categorical"`` draws Gumbel-max samples at
+    ``temperature`` using the on-chip PRNG (TPU only — no interpret-mode
+    lowering exists for the PRNG primitives).
 
     Semantics match :func:`music_tpu.models.wavenet.generate_tokens` with
     ``sample_mode='argmax'`` (verified in tests/test_pallas_decode.py).
@@ -319,13 +347,15 @@ def generate_tokens_fused(
 
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
-        _decode_kernel, cfg=cfg, total=total, n_streams=S, dtype=dtype
+        _decode_kernel, cfg=cfg, total=total, n_streams=S, dtype=dtype,
+        sample_mode=sample_mode, temperature=temperature,
     )
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(((total // 128) * S, 128), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((d, S, 128), dtype) for d, _ in groups
@@ -335,6 +365,7 @@ def generate_tokens_fused(
         ring0, cur0, prev0,
         w["ecur"], w["eprev"], w["fgp"], w["fgc"], w["densew"], w["skipw"],
         w["post1"], w["post2"],
+        jnp.asarray([seed], jnp.int32),
     )
     # out rows: block b holds streams at times [128b, 128(b+1))
     toks = out.reshape(total // 128, S, 128)
