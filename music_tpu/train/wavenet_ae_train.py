@@ -9,11 +9,13 @@ pipeline (music_tpu.data.audio) instead, which is the intended behavior.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Mapping
 
 import jax
 import jax.numpy as jnp
 import optax
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from music_tpu.core import checkpoint as ckpt_lib
@@ -22,13 +24,85 @@ from music_tpu.core.optim import from_config as optimizer_from_config
 from music_tpu.core.prng import KeySeq
 from music_tpu.data.audio import AudioWindows
 from music_tpu.models import wavenet_ae as ae
+from music_tpu.models.wavenet_ae import _upsample_cond
+from music_tpu.ops.conv import conv1x1, dilated_causal_conv, token_causal_conv
 from music_tpu.train.wavenet_train import TrainState
 
 
-def make_train_step(cfg: ae.WaveNetAEConfig, tx: optax.GradientTransformation):
+def ae_param_specs(cfg: ae.WaveNetAEConfig, tp: bool) -> dict:
+    """PartitionSpecs: with ``tp``, the decoder's 512-channel skip pathway
+    is Megatron-split over ``model`` (column-parallel skip projections,
+    row-parallel conn1 with one psum); the small encoder and conditioning
+    projections stay replicated."""
+    specs = {k: P() for k in (
+        "en_causal", "en_dil", "en_dense", "bottleneck",
+        "de_causal", "fg", "cond_fg", "dense", "cond_post", "conn2",
+    )}
+    specs["skip"] = P(None, None, "model") if tp else P()
+    specs["conn1"] = P("model", None) if tp else P()
+    return specs
+
+
+def _sharded_ae_loss(params, tokens, cfg: ae.WaveNetAEConfig):
+    """Local loss inside shard_map: batch over ``data``, skip pathway over
+    ``model``; computation is replicated over ``seq`` (the AE's pooling
+    boundaries make sequence sharding a poor fit — SURVEY.md §2.6 requires
+    dp; tp is the added capability)."""
+    Cd = cfg.de_dilation_channel
+    inputs = tokens[:, :-1]
+    targets = tokens[:, cfg.receptive_field:]
+    T = inputs.shape[1]
+    output_width = T - cfg.receptive_field + 1
+
+    encoding = ae.encode(params, inputs, cfg)
+
+    x = token_causal_conv(inputs, params["de_causal"])
+    skip_total = None
+    for i, d in enumerate(cfg.dilations):
+        fg = dilated_causal_conv(x, params["fg"][i], dilation=d)
+        cond = conv1x1(_upsample_cond(encoding, fg.shape[1]), params["cond_fg"][i])
+        fg = fg + cond
+        z = jnp.tanh(fg[..., Cd:]) * jax.nn.sigmoid(fg[..., :Cd])
+        dense = conv1x1(z, params["dense"][i])
+        x = dense + x[:, -dense.shape[1]:, :]
+        skip = conv1x1(z[:, -output_width:, :], params["skip"][i])  # [.., Cs/m]
+        skip_total = skip if skip_total is None else skip_total + skip
+
+    h = jax.nn.relu(skip_total)
+    h = jax.lax.psum(conv1x1(h, params["conn1"]), "model")  # row-parallel
+    h = h + conv1x1(_upsample_cond(encoding, h.shape[1]), params["cond_post"])
+    h = jax.nn.relu(h)
+    logits = conv1x1(h, params["conn2"])
+
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    # value is invariant over seq/model (tokens replicated there); only the
+    # data axis needs the mean
+    return jax.lax.pmean(jnp.mean(nll), "data")
+
+
+def make_loss_fn(cfg: ae.WaveNetAEConfig, mesh: Mesh):
+    tp = mesh.shape["model"] > 1
+    specs = ae_param_specs(cfg, tp)
+    fn = shard_map(
+        functools.partial(_sharded_ae_loss, cfg=cfg),
+        mesh=mesh,
+        in_specs=(specs, P("data", None)),
+        out_specs=P(),
+    )
+    return fn, specs
+
+
+def make_train_step(cfg: ae.WaveNetAEConfig, tx: optax.GradientTransformation,
+                    mesh: Mesh | None = None):
+    if mesh is None:
+        loss_fn = lambda p, t: ae.loss_fn(p, t, cfg)
+    else:
+        loss_fn, _ = make_loss_fn(cfg, mesh)
+
     @jax.jit
     def train_step(state: TrainState, tokens: jax.Array):
-        loss, grads = jax.value_and_grad(ae.loss_fn)(state.params, tokens, cfg)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, tokens)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), loss
@@ -60,10 +134,15 @@ def train(
     ckpt_dir = train_params.get("restore_dir", "checkpoints/wavenet_ae")
 
     params = ae.init_params(keys.next(), cfg)
+    specs = ae_param_specs(cfg, mesh.shape["model"] > 1)
+    params = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, {k: specs[k] for k in params},
+    )
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
     state, start_step = ckpt_lib.restore_or_init(ckpt_dir, state)
 
-    train_step = make_train_step(cfg, tx)
+    train_step = make_train_step(cfg, tx, mesh)
     sharding = NamedSharding(mesh, P("data", None))
 
     meter, thru = Meter(), Throughput()

@@ -108,3 +108,32 @@ def test_training_reduces_loss():
         params, opt, loss = step(params, opt)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_sharded_ae_loss_matches_unsharded():
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from music_tpu.parallel.mesh import MeshSpec, make_mesh
+    from music_tpu.train import wavenet_ae_train as aet
+
+    mesh = make_mesh(MeshSpec(data=2, seq=2, model=2))
+    params = ae.init_params(jax.random.PRNGKey(0), TINY)
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (4, TINY.receptive_field + 33), 0, 32
+    )
+    ref_loss, ref_grads = jax.value_and_grad(ae.loss_fn)(params, tokens, TINY)
+
+    loss_fn, specs = aet.make_loss_fn(TINY, mesh)
+    sharded = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, {k: specs[k] for k in params},
+    )
+    toks = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+    loss, grads = jax.value_and_grad(loss_fn)(sharded, toks)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for k in ref_grads:
+        np.testing.assert_allclose(
+            np.asarray(grads[k]), np.asarray(ref_grads[k]),
+            rtol=2e-4, atol=1e-5, err_msg=k,
+        )
