@@ -99,8 +99,13 @@ def generator_nll(params: dict, tokens: jax.Array, cfg: GeneratorConfig) -> jax.
 def generate(params: dict, key: jax.Array, cfg: GeneratorConfig, batch: int) -> jax.Array:
     """Free-running sampling of [batch, seq_len] sequences — one scan
     (reference: per-token Python loop, generator.py:62-88)."""
-    h0 = lstm_zero_state(batch, cfg.hidden_dim)
-    tok0 = jnp.full((batch,), cfg.start_token, jnp.int32)
+    # derive zero-valued-but-key-varying carries so shard_map's varying-axis
+    # tracking matches the scanned keys (numerically zeros)
+    jitter_i = (key[0] % jnp.uint32(1)).astype(jnp.int32)
+    jitter_f = jitter_i.astype(jnp.float32)
+    h0, c0 = lstm_zero_state(batch, cfg.hidden_dim)
+    h0, c0 = h0 + jitter_f, c0 + jitter_f
+    tok0 = jnp.full((batch,), cfg.start_token, jnp.int32) + jitter_i
 
     def step(carry, key_t):
         (h, c), tok = carry
@@ -111,7 +116,7 @@ def generate(params: dict, key: jax.Array, cfg: GeneratorConfig, batch: int) -> 
         return ((h, c), nxt), nxt
 
     keys = jax.random.split(key, cfg.seq_len)
-    _, toks = jax.lax.scan(step, ((h0), tok0), keys)
+    _, toks = jax.lax.scan(step, ((h0, c0), tok0), keys)
     return toks.T  # [batch, seq_len]
 
 

@@ -51,7 +51,11 @@ def lstm_scan(params: dict, xs: jax.Array, state=None):
     B = xs.shape[0]
     H = params["wh"].shape[0]
     if state is None:
-        state = lstm_zero_state(B, H, xs.dtype)
+        # derive the zero state from xs (0 * slice) so its device-varying
+        # status matches the scan inputs under shard_map (scan carries must
+        # agree in varying manual axes); numerically identical to zeros
+        zero = 0.0 * xs[:, 0, :1]
+        state = (zero + jnp.zeros((B, H), xs.dtype), zero + jnp.zeros((B, H), xs.dtype))
 
     def step(carry, x_t):
         h, c = lstm_cell(params, x_t, carry)

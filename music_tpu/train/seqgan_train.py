@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from music_tpu.core.prng import KeySeq
 from music_tpu.models import seqgan as sg
@@ -61,10 +63,34 @@ def read_samples(path: str | Path) -> np.ndarray:
 
 
 class SeqGanTrainer:
-    """Holds G/D/oracle params + optimizers; each phase is a jitted step."""
+    """Holds G/D/oracle params + optimizers; each phase is a jitted step.
 
-    def __init__(self, cfg: SeqGanConfig, seed: int = 0):
+    With ``mesh`` (a ``data``-axis Mesh), every fused phase runs under
+    shard_map: the positive corpus and generated batches shard over
+    ``data``, per-shard PRNG streams diverge via axis-index folding, and
+    gradients all-reduce (pmean) before each optimizer update — effective
+    batch = batch_size x data_parallelism, replicated params throughout.
+    """
+
+    def __init__(self, cfg: SeqGanConfig, seed: int = 0, mesh: Mesh | None = None):
         self.cfg = cfg
+        self.mesh = mesh
+        axis = "data" if mesh is not None and mesh.shape.get("data", 1) > 1 else None
+        self.axis = axis
+
+        def pmean(tree):
+            return jax.lax.pmean(tree, axis) if axis else tree
+
+        def localize(key):
+            return (
+                jax.random.fold_in(key, jax.lax.axis_index(axis)) if axis else key
+            )
+
+        def shardify(body, in_specs, out_specs):
+            if axis is None:
+                return body
+            return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
         self.keys = KeySeq(seed)
         # oracle = randomly-initialized generator with N(0,1) LSTM-ish init
         # (the reference uses default inits for the oracle too, train.py:61)
@@ -86,13 +112,14 @@ class SeqGanTrainer:
         @jax.jit
         def mle_step(params, opt_state, tokens):
             loss, grads = jax.value_and_grad(sg.generator_nll)(params, tokens, g_cfg)
+            loss, grads = pmean((loss, grads))
             updates, opt_state = self.g_tx.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        @functools.partial(jax.jit, static_argnames=("epochs",))
-        def mle_phase(params, opt_state, positive, key, *, epochs):
+        def mle_phase_impl(params, opt_state, positive, key, *, epochs):
             """MLE pretraining epochs fused on-device (shuffle + minibatch
             scan), mirroring d_phase."""
+            key = localize(key)
             N, T = positive.shape
             B = cfg.batch_size
             n_batches = N // B
@@ -116,6 +143,15 @@ class SeqGanTrainer:
             )
             return params, opt_state, losses[-1]
 
+        @functools.partial(jax.jit, static_argnames=("epochs",))
+        def mle_phase(params, opt_state, positive, key, *, epochs):
+            body = shardify(
+                functools.partial(mle_phase_impl, epochs=epochs),
+                in_specs=(P(), P(), P("data", None), P()),
+                out_specs=(P(), P(), P()),
+            )
+            return body(params, opt_state, positive, key)
+
         @jax.jit
         def d_step(params, opt_state, tokens, labels, key):
             loss, grads = jax.value_and_grad(sg.discriminator_loss)(
@@ -124,9 +160,8 @@ class SeqGanTrainer:
             updates, opt_state = self.d_tx.update(grads, opt_state)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        @functools.partial(jax.jit, donate_argnums=())
-        def pg_step(g_params, opt_state, d_params, key):
-            k1, k2 = jax.random.split(key)
+        def pg_step_impl(g_params, opt_state, d_params, key):
+            k1, k2 = jax.random.split(localize(key))
             samples = sg.generate(g_params, k1, g_cfg, cfg.batch_size)
             rewards = sg.rollout_rewards(
                 g_params, d_params, samples, k2,
@@ -135,21 +170,31 @@ class SeqGanTrainer:
             loss, grads = jax.value_and_grad(sg.pg_loss)(
                 g_params, samples, rewards, g_cfg
             )
+            loss, grads = pmean((loss, grads))
             updates, opt_state = self.g_tx.update(grads, opt_state)
             return optax.apply_updates(g_params, updates), opt_state, loss, rewards
+
+        @jax.jit
+        def pg_step(g_params, opt_state, d_params, key):
+            body = shardify(
+                pg_step_impl,
+                in_specs=(P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P("data", None)),
+            )
+            return body(g_params, opt_state, d_params, key)
 
         @jax.jit
         def oracle_nll(oracle_params, g_params, key):
             samples = sg.generate(g_params, key, g_cfg, cfg.batch_size)
             return sg.generator_nll(oracle_params, samples, g_cfg)
 
-        @functools.partial(jax.jit, static_argnames=("d_steps", "d_epochs"))
-        def d_phase(d_params, d_opt, g_params, positive, key, *, d_steps, d_epochs):
+        def d_phase_impl(d_params, d_opt, g_params, positive, key, *, d_steps, d_epochs):
             """The WHOLE discriminator-retraining phase as one program:
             d_steps x (regenerate negatives -> d_epochs x shuffled minibatch
             CE epochs) — the reference's seqgan.py:83-93 loop without ~500
             host round-trips.  Shuffling, minibatching, and optimizer
             updates all run on-device via nested lax.scan."""
+            key = localize(key)
             N, T = positive.shape
             B = cfg.batch_size
             n_batches = (2 * N) // B
@@ -160,6 +205,7 @@ class SeqGanTrainer:
                 loss, grads = jax.value_and_grad(sg.discriminator_loss)(
                     d_params, tokens_b, labels_b, d_cfg, key_b
                 )
+                loss, grads = pmean((loss, grads))
                 updates, d_opt = self.d_tx.update(grads, d_opt)
                 return (optax.apply_updates(d_params, updates), d_opt), loss
 
@@ -194,6 +240,15 @@ class SeqGanTrainer:
                 one_step, (d_params, d_opt), jax.random.split(key, d_steps)
             )
             return d_params, d_opt, losses[-1]
+
+        @functools.partial(jax.jit, static_argnames=("d_steps", "d_epochs"))
+        def d_phase(d_params, d_opt, g_params, positive, key, *, d_steps, d_epochs):
+            body = shardify(
+                functools.partial(d_phase_impl, d_steps=d_steps, d_epochs=d_epochs),
+                in_specs=(P(), P(), P(), P("data", None), P()),
+                out_specs=(P(), P(), P()),
+            )
+            return body(d_params, d_opt, g_params, positive, key)
 
         self._mle_step = mle_step
         self._mle_phase = mle_phase
