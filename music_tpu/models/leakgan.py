@@ -311,7 +311,15 @@ def _engine_scan(
       free-runs on its own samples (the reference's actual behavior).
     """
     state = _init_gen_state(g_params, batch, cfg, goal_init_rows)
-    buf0 = jnp.full((batch, cfg.seq_len), cfg.pad_token, jnp.int32)
+    # derive zero-valued jitter from the key so scan carries share the
+    # scanned keys' device-varying status under shard_map (numerically 0)
+    jitter_i = (key[0] % jnp.uint32(1)).astype(jnp.int32)
+    jitter_f = jitter_i.astype(jnp.float32)
+    state = {
+        k: (v + jitter_f if jnp.issubdtype(v.dtype, jnp.floating) else v)
+        for k, v in state.items()
+    }
+    buf0 = jnp.full((batch, cfg.seq_len), cfg.pad_token, jnp.int32) + jitter_i
     keys = jax.random.split(key, n_steps)
     dkeys = (
         jax.random.split(dropout_key, n_steps)
@@ -352,7 +360,7 @@ def _engine_scan(
         }
         return (state2, buf2, tok_t), out
 
-    x0 = jnp.full((batch,), cfg.start_token, jnp.int32)
+    x0 = jnp.full((batch,), cfg.start_token, jnp.int32) + jitter_i
     scan_in = (jnp.arange(n_steps), keys, dkeys) if dkeys is not None else (
         jnp.arange(n_steps), keys, jnp.zeros((n_steps,), jnp.int32))
     if dkeys is None:

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 from music_tpu.core import checkpoint as ckpt_lib
 from music_tpu.core.optim import step_lr
@@ -49,9 +51,18 @@ class LeakGanTrainConfig:
 
 
 class LeakGanTrainer:
-    def __init__(self, tc: LeakGanTrainConfig, seed: int = 0):
+    """With ``mesh`` (a ``data``-axis Mesh), the fused phases run under
+    shard_map: corpus sharded over ``data``, per-shard PRNG streams, pmean'd
+    grads before each update.  Note: under dp the rollout reward's
+    rank-rescale ranks within the per-shard batch (the reference ranks
+    within its single batch)."""
+
+    def __init__(self, tc: LeakGanTrainConfig, seed: int = 0, mesh: Mesh | None = None):
         self.tc = tc
         cfg = tc.cfg
+        self.mesh = mesh
+        axis = "data" if mesh is not None and mesh.shape.get("data", 1) > 1 else None
+        self.axis = axis
         self.keys = KeySeq(seed)
         self.g_params = lg.init_generator(self.keys.next(), cfg, tc.batch_size)
         self.d_params = lg.init_discriminator(self.keys.next(), cfg)
@@ -78,6 +89,20 @@ class LeakGanTrainer:
 
     def _build_steps(self):
         cfg = self.tc.cfg
+        axis, mesh = self.axis, self.mesh
+
+        def pmean(tree):
+            return jax.lax.pmean(tree, axis) if axis else tree
+
+        def localize(key):
+            return (
+                jax.random.fold_in(key, jax.lax.axis_index(axis)) if axis else key
+            )
+
+        def shardify(body, in_specs, out_specs):
+            if axis is None:
+                return body
+            return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
         @jax.jit
         def pre_step(g_params, d_params, m_opt, w_opt, real_data, key, dkey):
@@ -101,6 +126,7 @@ class LeakGanTrainer:
 
             ml, m_grads = jax.value_and_grad(m_loss)(g_params["manager"])
             wl, w_grads = jax.value_and_grad(w_loss)(g_params["worker"])
+            (ml, m_grads, wl, w_grads) = pmean((ml, m_grads, wl, w_grads))
             m_updates, m_opt = self.m_tx.update(m_grads, m_opt)
             w_updates, w_opt = self.w_tx.update(w_grads, w_opt)
             new_g = {
@@ -109,10 +135,10 @@ class LeakGanTrainer:
             }
             return new_g, m_opt, w_opt, ml, wl
 
-        @functools.partial(jax.jit, static_argnames=("epochs",))
-        def pre_phase(g_params, d_params, m_opt, w_opt, real_data, key, *, epochs):
+        def pre_phase_impl(g_params, d_params, m_opt, w_opt, real_data, key, *, epochs):
             """Generator pretraining epochs fused on-device: shuffled
             minibatch Manager/Worker updates via nested lax.scan."""
+            key = localize(key)
             N, T = real_data.shape
             B = self.tc.batch_size
             n_batches = N // B
@@ -142,6 +168,15 @@ class LeakGanTrainer:
             )
             return g_params, m_opt, w_opt, mls[-1], wls[-1]
 
+        @functools.partial(jax.jit, static_argnames=("epochs",))
+        def pre_phase(g_params, d_params, m_opt, w_opt, real_data, key, *, epochs):
+            body = shardify(
+                functools.partial(pre_phase_impl, epochs=epochs),
+                in_specs=(P(), P(), P(), P(), P("data", None), P()),
+                out_specs=(P(), P(), P(), P(), P()),
+            )
+            return body(g_params, d_params, m_opt, w_opt, real_data, key)
+
         @jax.jit
         def d_step(d_params, d_opt, tokens, labels, dkey):
             loss, grads = jax.value_and_grad(lg.dis_loss)(
@@ -150,12 +185,12 @@ class LeakGanTrainer:
             updates, d_opt = self.d_tx.update(grads, d_opt)
             return optax.apply_updates(d_params, updates), d_opt, loss
 
-        @functools.partial(jax.jit, static_argnames=("epochs",))
-        def d_phase(d_params, d_opt, g_params, real_data, key, *, epochs):
+        def d_phase_impl(d_params, d_opt, g_params, real_data, key, *, epochs):
             """Whole D-retraining phase on-device: regenerate negatives with
             the current generator, then ``epochs`` shuffled CE epochs — one
             compiled program instead of per-batch host calls
             (leak_gan/train.py:168-207, 280-305)."""
+            key = localize(key)
             N, T = real_data.shape
             B = self.tc.batch_size
             n_batches = (2 * N) // B
@@ -182,6 +217,7 @@ class LeakGanTrainer:
                 loss, grads = jax.value_and_grad(lg.dis_loss)(
                     d_params, toks_b, labs_b, cfg, key_b
                 )
+                loss, grads = pmean((loss, grads))
                 updates, d_opt = self.d_tx.update(grads, d_opt)
                 return (optax.apply_updates(d_params, updates), d_opt), loss
 
@@ -202,11 +238,19 @@ class LeakGanTrainer:
             )
             return d_params, d_opt, losses[-1]
 
-        @jax.jit
-        def adv_step(g_params, d_params, m_opt, w_opt, key, dkey):
+        @functools.partial(jax.jit, static_argnames=("epochs",))
+        def d_phase(d_params, d_opt, g_params, real_data, key, *, epochs):
+            body = shardify(
+                functools.partial(d_phase_impl, epochs=epochs),
+                in_specs=(P(), P(), P(), P("data", None), P()),
+                out_specs=(P(), P(), P()),
+            )
+            return body(d_params, d_opt, g_params, real_data, key)
+
+        def adv_step_impl(g_params, d_params, m_opt, w_opt, key, dkey):
             """Adversarial G update (leak_gan/train.py:226-266): one 'adv'
             pass, rollout rewards, manager + worker policy losses."""
-            k1, k2 = jax.random.split(key)
+            k1, k2 = jax.random.split(localize(key))
 
             def losses(gp):
                 rets = lg.adv_engine(
@@ -225,6 +269,7 @@ class LeakGanTrainer:
                 return ml + wl, (ml, wl)
 
             (total, (ml, wl)), grads = jax.value_and_grad(losses, has_aux=True)(g_params)
+            (ml, wl, grads) = pmean((ml, wl, grads))
             m_updates, m_opt = self.m_tx.update(grads["manager"], m_opt)
             w_updates, w_opt = self.w_tx.update(grads["worker"], w_opt)
             new_g = {
@@ -232,6 +277,15 @@ class LeakGanTrainer:
                 "worker": optax.apply_updates(g_params["worker"], w_updates),
             }
             return new_g, m_opt, w_opt, ml, wl
+
+        @jax.jit
+        def adv_step(g_params, d_params, m_opt, w_opt, key, dkey):
+            body = shardify(
+                adv_step_impl,
+                in_specs=(P(), P(), P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P(), P()),
+            )
+            return body(g_params, d_params, m_opt, w_opt, key, dkey)
 
         @jax.jit
         def oracle_nll(oracle_params, g_params, d_params, key):

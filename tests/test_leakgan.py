@@ -169,3 +169,19 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(tr2.g_params["worker"]["goal_change"]),
         np.asarray(tr.g_params["worker"]["goal_change"]),
     )
+
+
+def test_data_parallel_trainer():
+    """dp mode: corpus sharded over data axis, phases run under shard_map."""
+    from music_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec(data=4, seq=1, model=1), devices=jax.devices()[:4])
+    tc = LeakGanTrainConfig(cfg=CFG, batch_size=B, rollout_num=2, generated_num=8)
+    tr = LeakGanTrainer(tc, seed=0, mesh=mesh)
+    real = np.random.default_rng(0).integers(1, 40, (32, 10)).astype(np.int64)
+    ml, wl = tr.pretrain_generator(real, epochs=1)
+    assert np.isfinite(ml) and np.isfinite(wl)
+    d_loss = tr.pretrain_discriminator(real, epochs=1)
+    assert np.isfinite(d_loss)
+    aml, awl, adl = tr.adversarial_epoch(real, d_steps=1, d_epochs=1)
+    assert np.isfinite(aml) and np.isfinite(awl) and np.isfinite(adl)
