@@ -311,8 +311,11 @@ def _engine_scan(
       free-runs on its own samples (the reference's actual behavior).
     """
     state = _init_gen_state(g_params, batch, cfg, goal_init_rows)
-    # derive zero-valued jitter from the key so scan carries share the
-    # scanned keys' device-varying status under shard_map (numerically 0)
+    # shard_map device-variance workaround (see models/seqgan.py:generate):
+    # scan carries must share the scanned keys' data-axis-varying status, so
+    # derive numerically-zero-but-key-dependent jitter via `key[0] % 1`.
+    # Relies on JAX not constant-folding `x % 1` across the varying-axis
+    # analysis; regression coverage = the dp trainer tests.
     jitter_i = (key[0] % jnp.uint32(1)).astype(jnp.int32)
     jitter_f = jitter_i.astype(jnp.float32)
     state = {
@@ -442,15 +445,47 @@ def gen_samples(g_params, d_params, key, batch: int, *, cfg: LeakGanConfig,
     return tokens
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "rollout_num", "temperature"))
+def rescale_rewards(sums, *, delta: float = 16.0, axis_name: str | None = None):
+    """Rank-based reward rescale across the batch (utils.py:461-475):
+    ``sigmoid(delta * (0.5 - rank/B))`` with rank 1 = highest score.
+
+    Under a data-sharded mesh, pass ``axis_name``: per-shard score columns
+    are ``all_gather``ed over that axis so ranks are computed over the
+    GLOBAL batch — exactly the reference's single-batch semantics — and the
+    local shard's column slice is returned.  Without the gather, dp would
+    rank within each shard's sub-batch, materially flattening the reward
+    distribution (e.g. ranking 8 sequences instead of 64 at dp=8)."""
+    if axis_name is None:
+        full = sums
+    else:
+        full = jax.lax.all_gather(sums, axis_name, axis=1, tiled=True)
+    B = full.shape[1]
+    order = jnp.argsort(full, axis=1)
+    rank = jnp.argsort(order, axis=1)
+    rank = B - rank
+    rescaled = jax.nn.sigmoid(delta * (0.5 - rank.astype(jnp.float32) / B))
+    if axis_name is not None:
+        b_local = sums.shape[1]
+        start = jax.lax.axis_index(axis_name) * b_local
+        rescaled = jax.lax.dynamic_slice_in_dim(rescaled, start, b_local, axis=1)
+    return rescaled
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "rollout_num", "temperature", "axis_name")
+)
 def get_rewards(
     g_params, d_params, input_x, key, *, cfg: LeakGanConfig,
     rollout_num: int = 4, temperature: float = 1.0, delta: float = 16.0,
+    axis_name: str | None = None,
 ):
     """Rollout rewards [B, n_goals] (utils.py:419-459): for each restore
     point given_num = 0, k, 2k, ..., regenerate completions rollout_num
     times, score P(real), rank-rescale across the batch (utils.py:461-475),
     divide by rollout_num.  All (rollout x restore) streams run in ONE scan.
+
+    ``axis_name``: name of the data mesh axis when called inside shard_map —
+    the rank rescale then operates on the all_gathered global batch.
     """
     B, T = input_x.shape
     R = rollout_num
@@ -475,11 +510,8 @@ def get_rewards(
     )
     pred = discriminator_forward(d_params, completions, cfg)["pred"][:, 1]  # [N]
     sums = pred.reshape(R, n, B).sum(axis=0)  # [n, B]
-    # rank-based rescale per restore point (utils.py:461-475)
-    order = jnp.argsort(sums, axis=1)
-    rank = jnp.argsort(order, axis=1)
-    rank = B - rank
-    rescaled = jax.nn.sigmoid(delta * (0.5 - rank.astype(jnp.float32) / B))
+    # rank-based rescale per restore point, over the global batch under dp
+    rescaled = rescale_rewards(sums, delta=delta, axis_name=axis_name)
     return rescaled.T / rollout_num  # [B, n]
 
 

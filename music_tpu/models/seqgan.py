@@ -99,8 +99,14 @@ def generator_nll(params: dict, tokens: jax.Array, cfg: GeneratorConfig) -> jax.
 def generate(params: dict, key: jax.Array, cfg: GeneratorConfig, batch: int) -> jax.Array:
     """Free-running sampling of [batch, seq_len] sequences — one scan
     (reference: per-token Python loop, generator.py:62-88)."""
-    # derive zero-valued-but-key-varying carries so shard_map's varying-axis
-    # tracking matches the scanned keys (numerically zeros)
+    # shard_map device-variance workaround: inside shard_map, lax.scan
+    # requires carries and scanned inputs to agree on which mesh axes they
+    # vary over.  The per-shard `key` (folded with axis_index) is
+    # data-axis-varying; fresh zero carries are unvarying, so the scan would
+    # reject them.  `key[0] % 1` is numerically 0 but data-flow-dependent on
+    # the key, making every carry key-varying.  Relies on JAX NOT
+    # constant-folding `x % 1` across the varying-axis analysis — covered by
+    # the dp trainer tests (tests/test_seqgan.py, tests/test_leakgan.py).
     jitter_i = (key[0] % jnp.uint32(1)).astype(jnp.int32)
     jitter_f = jitter_i.astype(jnp.float32)
     h0, c0 = lstm_zero_state(batch, cfg.hidden_dim)

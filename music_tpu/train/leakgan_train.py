@@ -53,9 +53,10 @@ class LeakGanTrainConfig:
 class LeakGanTrainer:
     """With ``mesh`` (a ``data``-axis Mesh), the fused phases run under
     shard_map: corpus sharded over ``data``, per-shard PRNG streams, pmean'd
-    grads before each update.  Note: under dp the rollout reward's
-    rank-rescale ranks within the per-shard batch (the reference ranks
-    within its single batch)."""
+    grads before each update.  The rollout reward's rank-rescale all_gathers
+    D scores over the data axis so ranks are computed over the GLOBAL batch,
+    matching the reference's single-batch semantics exactly
+    (leak_gan/utils.py:461-475)."""
 
     def __init__(self, tc: LeakGanTrainConfig, seed: int = 0, mesh: Mesh | None = None):
         self.tc = tc
@@ -260,6 +261,7 @@ class LeakGanTrainer:
                 rewards = lg.get_rewards(
                     gp, d_params, rets["gen_token"], k2, cfg=cfg,
                     rollout_num=self.tc.rollout_num, temperature=cfg.temperature,
+                    axis_name=axis,  # rank over the GLOBAL dp batch
                 )
                 ml = lg.adv_manager_loss(rewards, rets["real_goal"], rets["delta_feature"])
                 wl = lg.adv_worker_loss(

@@ -105,6 +105,30 @@ def test_rollout_rewards_shape_and_range():
     assert (np.asarray(r) > 0).all() and (np.asarray(r) < 0.5 + 1e-6).all()
 
 
+def test_rescale_dp_matches_single_device():
+    """Under a data mesh, the rank rescale must all_gather D scores and rank
+    over the GLOBAL batch — dp rewards == single-device rewards for the same
+    global batch (leak_gan/utils.py:461-475 ranks over its full batch)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from music_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec(data=4, seq=1, model=1), devices=jax.devices()[:4])
+    n_goals, Bg = 2, 16
+    sums = jnp.asarray(
+        np.random.default_rng(0).permutation(n_goals * Bg).reshape(n_goals, Bg),
+        jnp.float32,
+    )  # distinct values: ranks are unambiguous
+    single = lg.rescale_rewards(sums)
+
+    dp = shard_map(
+        lambda s: lg.rescale_rewards(s, axis_name="data"),
+        mesh=mesh, in_specs=P(None, "data"), out_specs=P(None, "data"),
+    )(sums)
+    np.testing.assert_allclose(np.asarray(dp), np.asarray(single), rtol=1e-6)
+
+
 def test_rollout_respects_restore_points():
     """given_num=k streams must reproduce the sample prefix exactly."""
     g, d = _params()
