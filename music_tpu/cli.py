@@ -158,7 +158,9 @@ def cmd_crnngan(args):
     p = _load_params(Path(args.params_dir or PARAMS_ROOT / "c_rnn_gan"))
     cfg = CRnnGanConfig.from_json(p["crnngan_params"])
     if args.action == "train":
-        from music_tpu.data.midi import load_midi_dataset
+        import dataclasses
+
+        from music_tpu.data.midi import build_meta_onehots, load_midi_dataset
 
         data, metas = load_midi_dataset(
             args.midi_dir or p["dataset_params"]["root_dir"],
@@ -166,12 +168,16 @@ def cmd_crnngan(args):
         )
         if len(data) == 0:
             sys.exit("no MIDI files found")
+        # per-song genre/composer one-hot conditioning (data.py:151-157)
+        meta, genres, composers = build_meta_onehots(metas)
+        cfg = dataclasses.replace(cfg, meta_dim=meta.shape[1])
+        print(f"conditioning on {len(genres)} genres + {len(composers)} composers")
         scaler = FeatureScaler(data)
         normed = scaler.transform(data).astype(np.float32)
         tr = CRnnGanTrainer(CRnnGanTrainConfig(cfg=cfg, batch_size=p["dataset_params"]["batch_size"]))
-        print("pretrain:", tr.pretrain(normed, epochs=p["train_params"]["pretrain_epochs"]))
+        print("pretrain:", tr.pretrain(normed, epochs=p["train_params"]["pretrain_epochs"], meta=meta))
         for epoch in range(p["train_params"]["num_epochs"]):
-            gl, dl, acc = tr.gan_epoch(normed)
+            gl, dl, acc = tr.gan_epoch(normed, meta=meta)
             print(f"epoch {epoch}: g={gl:.4f} d={dl:.4f} d_acc={acc:.2f}")
         if args.checkpoint:
             tr.save(args.checkpoint, p["train_params"]["num_epochs"])
@@ -179,8 +185,14 @@ def cmd_crnngan(args):
         from music_tpu.generate.crnngan_generate import generate
         from music_tpu.core import checkpoint as ckpt_lib
         from music_tpu.models import crnngan as cg
+        import dataclasses
         import jax
 
+        # infer the conditioning width from the trained fc1 shape
+        shapes = ckpt_lib.leaf_shapes(args.checkpoint, prefix="['g_params']")
+        in_dim = shapes["['fc1']['w']"][0]
+        meta_dim = in_dim - cfg.noise_dim - cfg.num_song_features
+        cfg = dataclasses.replace(cfg, meta_dim=max(int(meta_dim), 0))
         example = cg.init_generator(jax.random.PRNGKey(0), cfg)
         params = ckpt_lib.restore_subtree(args.checkpoint, example, prefix="['g_params']")
         generate(params, cfg, args.out)

@@ -180,6 +180,28 @@ def restore_subtree(
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def leaf_shapes(
+    ckpt_dir: str | Path, prefix: str = "", step: int | None = None
+) -> dict[str, tuple]:
+    """Shapes of stored leaves under ``prefix`` (keystr paths relative to
+    the prefix) — lets callers build a shape-correct example pytree before
+    :func:`restore_subtree` when a config dimension (e.g. a conditioning
+    width) is only recorded in the trained parameter shapes."""
+    ckpt_dir = Path(ckpt_dir)
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {ckpt_dir}")
+    target = ckpt_dir / f"step_{step}"
+    manifest = json.loads((target / _MANIFEST).read_text())
+    with np.load(target / _ARRAYS) as data:
+        return {
+            leaf["path"][len(prefix):]: data[leaf["key"]].shape
+            for leaf in manifest["leaves"]
+            if leaf["path"].startswith(prefix)
+        }
+
+
 def restore_or_init(ckpt_dir: str | Path, init_state: Any) -> tuple[Any, int]:
     """Resume-if-present: returns ``(state, step)`` — ``(init_state, 0)`` when
     no checkpoint exists.  Replaces the reference's filename-parsing resume

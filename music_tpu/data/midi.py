@@ -240,3 +240,22 @@ def load_midi_dataset(
     if not tensors:
         return np.zeros((0, song_length, NUM_SONG_FEATURES), np.float32), []
     return np.stack(tensors), metas
+
+
+def build_meta_onehots(
+    metas: list[dict],
+) -> tuple[np.ndarray, list[str], list[str]]:
+    """Per-song conditioning tensor: one-hot(genre) ++ one-hot(composer)
+    (c-rnn-gan/data.py:151-157) -> ([N, n_genres + n_composers] float32,
+    genre vocab, composer vocab).  Vocabs are sorted for determinism; the
+    trainer feeds this into the generator input (the reference built the
+    tensor but its stub train loop never consumed it)."""
+    genres = sorted({m["genre"] for m in metas})
+    composers = sorted({m["composer"] for m in metas})
+    g_index = {g: i for i, g in enumerate(genres)}
+    c_index = {c: len(genres) + i for i, c in enumerate(composers)}
+    meta = np.zeros((len(metas), len(genres) + len(composers)), np.float32)
+    for i, m in enumerate(metas):
+        meta[i, g_index[m["genre"]]] = 1.0
+        meta[i, c_index[m["composer"]]] = 1.0
+    return meta, genres, composers

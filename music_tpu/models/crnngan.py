@@ -36,12 +36,17 @@ NUM_FEATURES = 4
 
 @dataclasses.dataclass(frozen=True)
 class CRnnGanConfig:
-    """c-rnn-gan/params/crnngan_params.json schema."""
+    """c-rnn-gan/params/crnngan_params.json schema.
+
+    ``meta_dim``: width of the per-song genre+composer one-hot conditioning
+    tensor (c-rnn-gan/data.py:151-157, via
+    :func:`music_tpu.data.midi.build_meta_onehots`); 0 = unconditioned."""
 
     num_song_features: int = NUM_FEATURES
     noise_dim: int = 100
     hidden_dim: int = 350
     song_length: int = 100
+    meta_dim: int = 0
 
     @classmethod
     def from_json(cls, cfg: dict) -> "CRnnGanConfig":
@@ -50,6 +55,7 @@ class CRnnGanConfig:
             noise_dim=cfg.get("noise_dim", cfg.get("random_input_dim", 100)),
             hidden_dim=cfg.get("hidden_dim", 350),
             song_length=cfg.get("song_length", 100),
+            meta_dim=cfg.get("meta_dim", 0),
         )
 
 
@@ -57,7 +63,7 @@ def init_generator(key: jax.Array, cfg: CRnnGanConfig) -> dict:
     k1, k2, k3, k4 = jax.random.split(key, 4)
     H, F = cfg.hidden_dim, cfg.num_song_features
     return {
-        "fc1": linear_init(k1, cfg.noise_dim + F, H),
+        "fc1": linear_init(k1, cfg.noise_dim + F + cfg.meta_dim, H),
         "lstm1": lstm_init(k2, H, H),
         "lstm2": lstm_init(k3, H, H),
         "fc2": linear_init(k4, H, F),
@@ -76,9 +82,10 @@ def init_discriminator(key: jax.Array, cfg: CRnnGanConfig) -> dict:
     }
 
 
-def _g_step(params: dict, noise_t, prev_out, state):
+def _g_step(params: dict, noise_t, prev_out, meta, state):
     (h1, c1), (h2, c2) = state
-    x = jnp.concatenate([noise_t, prev_out], axis=-1)
+    parts = [noise_t, prev_out] + ([meta] if meta is not None else [])
+    x = jnp.concatenate(parts, axis=-1)
     x = jax.nn.relu(linear(params["fc1"], x))
     h1, c1 = lstm_cell(params["lstm1"], x, (h1, c1))
     h2, c2 = lstm_cell(params["lstm2"], h1, (h2, c2))
@@ -86,39 +93,62 @@ def _g_step(params: dict, noise_t, prev_out, state):
     return out, ((h1, c1), (h2, c2))
 
 
+def _resolve_meta(meta, batch: int, cfg: CRnnGanConfig):
+    """[B, meta_dim] conditioning rows, or None when unconditioned."""
+    if cfg.meta_dim == 0:
+        return None
+    if meta is None:
+        return jnp.zeros((batch, cfg.meta_dim))
+    return meta
+
+
+def _key_jitter(key):
+    # shard_map device-variance workaround (see models/seqgan.py:generate):
+    # scan carries must share the per-shard key's data-axis-varying status.
+    return (key[0] % jnp.uint32(1)).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "batch", "length"))
 def generate(params: dict, key: jax.Array, cfg: CRnnGanConfig, batch: int,
-             length: int | None = None) -> jax.Array:
-    """Free-running generation: [batch, length, 4] events."""
+             length: int | None = None, meta: jax.Array | None = None) -> jax.Array:
+    """Free-running generation: [batch, length, 4] events, optionally
+    conditioned on per-song [batch, meta_dim] genre/composer one-hots."""
     length = length or cfg.song_length
     H = cfg.hidden_dim
-    state = (lstm_zero_state(batch, H), lstm_zero_state(batch, H))
+    jitter = _key_jitter(key)
+    h0 = tuple(x + jitter for x in lstm_zero_state(batch, H))
+    state = (h0, h0)
+    meta = _resolve_meta(meta, batch, cfg)
     noise = jax.random.uniform(key, (length, batch, cfg.noise_dim))
 
     def step(carry, noise_t):
         prev, state = carry
-        out, state = _g_step(params, noise_t, prev, state)
+        out, state = _g_step(params, noise_t, prev, meta, state)
         return (out, state), out
 
-    prev0 = jnp.zeros((batch, cfg.num_song_features))
+    prev0 = jnp.zeros((batch, cfg.num_song_features)) + jitter
     _, outs = jax.lax.scan(step, (prev0, state), noise)
     return jnp.swapaxes(outs, 0, 1)
 
 
 def generator_teacher_forced(params: dict, key: jax.Array, real: jax.Array,
-                             cfg: CRnnGanConfig) -> jax.Array:
+                             cfg: CRnnGanConfig,
+                             meta: jax.Array | None = None) -> jax.Array:
     """Teacher-forced outputs: step t consumes real event t-1 (zeros at
     t=0); used by MSE pretraining (the intent of model.py:93-98)."""
     B, T, F = real.shape
     H = cfg.hidden_dim
-    state = (lstm_zero_state(B, H), lstm_zero_state(B, H))
+    jitter = _key_jitter(key)
+    h0 = tuple(x + jitter for x in lstm_zero_state(B, H))
+    state = (h0, h0)
+    meta = _resolve_meta(meta, B, cfg)
     noise = jax.random.uniform(key, (T, B, cfg.noise_dim))
     prev = jnp.concatenate([jnp.zeros((B, 1, F)), real[:, :-1]], axis=1)
     prev = jnp.swapaxes(prev, 0, 1)  # [T, B, F]
 
     def step(state, inp):
         noise_t, prev_t = inp
-        out, state = _g_step(params, noise_t, prev_t, state)
+        out, state = _g_step(params, noise_t, prev_t, meta, state)
         return state, out
 
     _, outs = jax.lax.scan(step, state, (noise, prev))
@@ -131,10 +161,16 @@ def _bilstm(fwd_params, bwd_params, xs):
     H = fwd_params["wh"].shape[0]
 
     def run(params, seq):
+        # zero-valued but input-dependent carry jitter: under shard_map the
+        # scan carry must share the sharded input's data-axis-varying status
+        # (see models/seqgan.py:generate for the key-based variant)
+        jitter = seq.ravel()[0] * 0.0
+        h0 = tuple(x + jitter for x in lstm_zero_state(B, H))
+
         def step(carry, x_t):
             h, c = lstm_cell(params, x_t, carry)
             return (h, c), h
-        _, hs = jax.lax.scan(step, lstm_zero_state(B, H), seq)
+        _, hs = jax.lax.scan(step, h0, seq)
         return hs
 
     fwd = run(fwd_params, jnp.swapaxes(xs, 0, 1))
@@ -161,25 +197,38 @@ def d_loss(d_params: dict, real: jax.Array, fake: jax.Array, cfg: CRnnGanConfig,
 
 
 def g_adv_loss(g_params: dict, d_params: dict, key: jax.Array, batch: int,
-               cfg: CRnnGanConfig) -> jax.Array:
+               cfg: CRnnGanConfig, meta: jax.Array | None = None) -> jax.Array:
     """Adversarial G loss: -mean log D(fake)."""
-    fake = generate(g_params, key, cfg, batch)
+    fake = generate(g_params, key, cfg, batch, meta=meta)
     p_fake, _ = discriminator_forward(d_params, fake, cfg)
     return -jnp.mean(jnp.log(p_fake + 1e-7))
 
 
 def g_feature_matching_loss(g_params: dict, d_params: dict, key: jax.Array,
-                            real: jax.Array, cfg: CRnnGanConfig) -> jax.Array:
+                            real: jax.Array, cfg: CRnnGanConfig,
+                            meta: jax.Array | None = None,
+                            axis_name: str | None = None) -> jax.Array:
     """Paper's feature matching: MSE between mean D features on real vs
-    fake batches."""
-    fake = generate(g_params, key, cfg, real.shape[0])
+    fake batches.  ``axis_name``: data mesh axis when called inside
+    shard_map — the feature means are pmean'd over the GLOBAL batch before
+    the MSE (the loss is nonlinear in the mean, so per-shard means would
+    change semantics)."""
+    fake = generate(g_params, key, cfg, real.shape[0], meta=meta)
     _, f_real = discriminator_forward(d_params, real, cfg)
     _, f_fake = discriminator_forward(d_params, fake, cfg)
-    return jnp.mean((f_real.mean(axis=(0, 1)) - f_fake.mean(axis=(0, 1))) ** 2)
+    fr, ff = f_real.mean(axis=(0, 1)), f_fake.mean(axis=(0, 1))
+    if axis_name is not None:
+        fr, ff = jax.lax.pmean((fr, ff), axis_name)
+    loss = jnp.mean((fr - ff) ** 2)
+    if axis_name is not None:
+        # re-mark as axis-varying so this branch type-matches the (varying)
+        # adversarial loss under lax.cond inside shard_map
+        loss = jax.lax.pcast(loss, axis_name, to="varying")
+    return loss
 
 
 def g_pretrain_loss(g_params: dict, key: jax.Array, real: jax.Array,
-                    cfg: CRnnGanConfig) -> jax.Array:
+                    cfg: CRnnGanConfig, meta: jax.Array | None = None) -> jax.Array:
     """MSE regression of teacher-forced outputs onto the real events."""
-    pred = generator_teacher_forced(g_params, key, real, cfg)
+    pred = generator_teacher_forced(g_params, key, real, cfg, meta=meta)
     return jnp.mean((pred - real) ** 2)

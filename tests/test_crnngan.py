@@ -109,6 +109,86 @@ def test_load_midi_dataset(tmp_path):
     assert metas[0]["genre"] == "classical" and metas[0]["composer"] == "bach"
 
 
+def test_meta_onehots():
+    """One-hot(genre) ++ one-hot(composer) per song (c-rnn-gan/data.py:151-157)."""
+    metas = [
+        {"genre": "jazz", "composer": "monk"},
+        {"genre": "classical", "composer": "bach"},
+        {"genre": "classical", "composer": "monk"},
+    ]
+    meta, genres, composers = midi.build_meta_onehots(metas)
+    assert genres == ["classical", "jazz"] and composers == ["bach", "monk"]
+    assert meta.shape == (3, 4)
+    np.testing.assert_array_equal(meta.sum(axis=1), [2.0, 2.0, 2.0])
+    np.testing.assert_array_equal(meta[1], [1, 0, 1, 0])  # classical+bach
+    np.testing.assert_array_equal(meta[2], [1, 0, 0, 1])  # classical+monk
+
+
+def test_meta_conditioned_generator():
+    """meta_dim>0 flows genre/composer one-hots into the generator input;
+    different meta rows change the output."""
+    cfg = cg.CRnnGanConfig(noise_dim=8, hidden_dim=16, song_length=12, meta_dim=4)
+    params = cg.init_generator(jax.random.PRNGKey(0), cfg)
+    m1 = jnp.eye(4)[:3]
+    m2 = jnp.roll(m1, 1, axis=1)
+    out1 = cg.generate(params, jax.random.PRNGKey(1), cfg, batch=3, meta=m1)
+    out2 = cg.generate(params, jax.random.PRNGKey(1), cfg, batch=3, meta=m2)
+    assert out1.shape == (3, 12, 4)
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
+    # unconditioned call defaults to zero meta
+    out3 = cg.generate(params, jax.random.PRNGKey(1), cfg, batch=3)
+    assert out3.shape == (3, 12, 4)
+
+    tc = CRnnGanTrainConfig(cfg=cfg, batch_size=4, g_lr=5e-3)
+    tr = CRnnGanTrainer(tc, seed=0)
+    data = np.random.default_rng(0).normal(size=(8, 12, 4)).astype(np.float32) * 0.1
+    meta = np.eye(4, dtype=np.float32)[np.arange(8) % 4]
+    l0 = tr.pretrain(data, epochs=1, meta=meta)
+    for _ in range(5):
+        l = tr.pretrain(data, epochs=1, meta=meta)
+    assert l < l0, (l0, l)
+    gl, dl, acc = tr.gan_epoch(data, meta=meta)
+    assert np.isfinite(gl) and np.isfinite(dl)
+
+
+def test_data_parallel_trainer():
+    """dp mode (mirrors tests/test_seqgan.py's dp test): batch + meta shard
+    over the data axis, per-shard PRNG, pmean'd grads and gate statistics."""
+    from music_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec(data=4, seq=1, model=1), devices=jax.devices()[:4])
+    cfg = cg.CRnnGanConfig(noise_dim=8, hidden_dim=16, song_length=12, meta_dim=4)
+    tc = CRnnGanTrainConfig(cfg=cfg, batch_size=8, g_lr=5e-3)
+    tr = CRnnGanTrainer(tc, seed=0, mesh=mesh)
+    data = np.random.default_rng(0).normal(size=(16, 12, 4)).astype(np.float32) * 0.1
+    meta = np.eye(4, dtype=np.float32)[np.arange(16) % 4]
+    l0 = tr.pretrain(data, epochs=1, meta=meta)
+    for _ in range(5):
+        l = tr.pretrain(data, epochs=1, meta=meta)
+    assert l < l0, (l0, l)
+    gl, dl, acc = tr.gan_epoch(data, meta=meta)
+    assert np.isfinite(gl) and np.isfinite(dl) and 0.0 <= acc <= 1.0
+
+
+def test_conditioned_checkpoint_metadim_inference(tmp_path):
+    """Generation-time restore infers the conditioning width from the
+    trained fc1 shape (cli.py cmd_crnngan generate path)."""
+    from music_tpu.core import checkpoint as ckpt_lib
+
+    cfg = cg.CRnnGanConfig(noise_dim=8, hidden_dim=16, song_length=12, meta_dim=4)
+    tr = CRnnGanTrainer(CRnnGanTrainConfig(cfg=cfg, batch_size=4), seed=0)
+    tr.save(tmp_path, step=1)
+
+    shapes = ckpt_lib.leaf_shapes(tmp_path, prefix="['g_params']")
+    in_dim = shapes["['fc1']['w']"][0]
+    assert in_dim - cfg.noise_dim - cfg.num_song_features == 4
+    example = cg.init_generator(jax.random.PRNGKey(9), cfg)
+    restored = ckpt_lib.restore_subtree(tmp_path, example, prefix="['g_params']")
+    np.testing.assert_array_equal(
+        np.asarray(restored["fc1"]["w"]), np.asarray(tr.g_params["fc1"]["w"])
+    )
+
+
 def test_midi_scraper_with_injected_fetch(tmp_path):
     from music_tpu.data.midi_scraper import download, extract_midi_links
 
