@@ -39,10 +39,17 @@ def cmd_wavenet(args):
         from music_tpu.train.wavenet_train import train
 
         p = _load_params(Path(args.params_dir or PARAMS_ROOT / "wavenet"))
+        tp = dict(p["train_params"])
+        if args.coordinator:  # multi-host entry (SURVEY.md §2.6)
+            tp.update(
+                coordinator=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
         train(
             wavenet_params=p["wavenet_params"],
             dataset_params=p["dataset_params"],
-            train_params=p["train_params"],
+            train_params=tp,
         )
     else:
         from music_tpu.generate.wavenet_generate import generate
@@ -228,6 +235,9 @@ def main(argv=None):
     p.add_argument("--out", default="generated.wav")
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--sample-mode", default="argmax")
+    p.add_argument("--coordinator", help="multi-host: coordinator host:port")
+    p.add_argument("--num-processes", type=int, help="multi-host: world size")
+    p.add_argument("--process-id", type=int, help="multi-host: this process's rank")
     p.set_defaults(fn=cmd_wavenet)
 
     p = sub.add_parser("wavenet-ae")

@@ -194,11 +194,26 @@ def train(
     mesh: Mesh | None = None,
 ) -> TrainState:
     """Public train() — the reference entry point (wavenet/train.py:76-226)
-    over repaired JSON param dicts (see music_tpu.core.config)."""
+    over repaired JSON param dicts (see music_tpu.core.config).
+
+    Multi-host: set ``train_params["coordinator"]`` (+ ``num_processes``,
+    ``process_id``, e.g. from the CLI flags) — each process then joins the
+    jax.distributed cluster, the mesh spans all global devices, every host
+    feeds only its own batch rows, and checkpoints/logs write on process 0.
+    """
+    from music_tpu.parallel import multihost
     from music_tpu.parallel.mesh import make_mesh, MeshSpec
+
+    if train_params.get("coordinator") or train_params.get("num_processes"):
+        multihost.initialize(
+            train_params.get("coordinator"),
+            train_params.get("num_processes"),
+            train_params.get("process_id"),
+        )
 
     cfg = WaveNetConfig.from_json(dict(wavenet_params))
     mesh = mesh or make_mesh(MeshSpec(data=-1))
+    is_main = jax.process_index() == 0
     tx = optimizer_from_config(train_params)
     keys = KeySeq(train_params.get("seed", 0))
 
@@ -219,26 +234,28 @@ def train(
     train_step, _ = make_train_step(
         cfg, tx, mesh, dataset_params["window_length"], compute_dtype
     )
-    batch_sharding = NamedSharding(mesh, P("data", None))
 
     meter, thru = Meter(), Throughput()
     print_every = train_params.get("print_every", 100)
     step = start_step
     for epoch in range(train_params.get("num_epochs", 1)):
+        # every process iterates the same (seeded) global batch order and
+        # contributes only its host_shard rows inside put_global_batch
         for batch in windows.batches(
             dataset_params["batch_size"], seed=train_params.get("seed", 0) + epoch
         ):
-            tokens = jax.device_put(batch, batch_sharding)
+            tokens = multihost.put_global_batch(mesh, batch)
             state, loss = train_step(state, tokens)
             step += 1
             meter.update(float(loss))
             thru.update(batch.shape[0])
-            if step % print_every == 0:
+            if step % print_every == 0 and is_main:
                 logger.log_loss(epoch, step, meter.mean, pieces_per_sec=round(thru.rate, 2))
                 meter.reset()
-        ckpt_lib.save(
-            ckpt_dir, step, state,
-            max_checkpoints=train_params.get("max_check_points", 10),
-        )
-        logger.log_event(f"saved checkpoint at step {step}")
+        if is_main:
+            ckpt_lib.save(
+                ckpt_dir, step, state,
+                max_checkpoints=train_params.get("max_check_points", 10),
+            )
+            logger.log_event(f"saved checkpoint at step {step}")
     return state

@@ -1,0 +1,49 @@
+"""Subprocess worker for the multi-host test: joins a 2-process CPU
+jax.distributed cluster, runs ONE data-parallel WaveNet train step over the
+global mesh with per-host batch rows, prints the loss.
+
+Run: python tests/_multihost_worker.py <process_id> <num_processes> <port>
+"""
+
+import sys
+
+import jax
+
+# the sandbox sitecustomize pins the hardware platform; config wins
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 1)  # one chip per fake host
+
+
+def main(pid: int, nproc: int, port: int) -> None:
+    from music_tpu.parallel import multihost
+
+    multihost.initialize(f"localhost:{port}", nproc, pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == nproc, jax.devices()
+
+    import numpy as np
+    import optax
+
+    from music_tpu.models import wavenet as wn
+    from music_tpu.parallel.mesh import MeshSpec, make_mesh
+    from music_tpu.train import wavenet_train as wt
+
+    cfg = wn.WaveNetConfig(
+        filter_width=2, dilations=(1, 2, 4, 8), dilation_channels=4,
+        residual_channels=4, skip_channels=8, quantization_channels=32,
+    )
+    mesh = make_mesh(MeshSpec(data=-1))  # data axis spans BOTH hosts
+    tx = optax.adam(1e-3)
+    state = wt.init_state(jax.random.PRNGKey(0), cfg, tx, mesh)
+    step_fn, _ = wt.make_train_step(cfg, tx, mesh, window_length=8)
+
+    batch = np.random.default_rng(0).integers(
+        0, 32, (4, cfg.receptive_field + 8)
+    ).astype(np.int32)
+    tokens = multihost.put_global_batch(mesh, batch)  # this host's rows only
+    state, loss = step_fn(state, tokens)
+    print(f"MHLOSS {float(loss):.8f}", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))

@@ -1,0 +1,83 @@
+"""Multi-host distribution: the jax.distributed entry + per-host batch
+sharding actually execute — a 2-process CPU cluster (gloo collectives)
+runs one dp WaveNet train step and must reproduce the single-process loss
+on the same global batch (SURVEY.md §2.6's DataParallel replacement)."""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import optax
+
+REPO = Path(__file__).resolve().parent.parent
+WORKER = Path(__file__).resolve().parent / "_multihost_worker.py"
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _single_process_loss() -> float:
+    """Same step on a local 2-device data mesh (this process's virtual
+    devices), same seeds — the ground truth the cluster must match."""
+    from music_tpu.models import wavenet as wn
+    from music_tpu.parallel.mesh import MeshSpec, make_mesh
+    from music_tpu.train import wavenet_train as wt
+
+    cfg = wn.WaveNetConfig(
+        filter_width=2, dilations=(1, 2, 4, 8), dilation_channels=4,
+        residual_channels=4, skip_channels=8, quantization_channels=32,
+    )
+    mesh = make_mesh(MeshSpec(data=2, seq=1, model=1), devices=jax.devices()[:2])
+    tx = optax.adam(1e-3)
+    state = wt.init_state(jax.random.PRNGKey(0), cfg, tx, mesh)
+    step_fn, _ = wt.make_train_step(cfg, tx, mesh, window_length=8)
+    batch = np.random.default_rng(0).integers(
+        0, 32, (4, cfg.receptive_field + 8)
+    ).astype(np.int32)
+    from music_tpu.parallel import multihost
+
+    state, loss = step_fn(state, multihost.put_global_batch(mesh, batch))
+    return float(loss)
+
+
+def test_two_process_cluster_matches_single_process():
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(WORKER), str(pid), "2", str(port)],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    losses = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("MHLOSS ")]
+        assert lines, out
+        losses.append(float(lines[0].split()[1]))
+
+    # both hosts see the same (replicated) global loss
+    assert abs(losses[0] - losses[1]) < 1e-7, losses
+    # and it equals the single-process result on the same global batch
+    ref = _single_process_loss()
+    np.testing.assert_allclose(losses[0], ref, rtol=1e-5)
