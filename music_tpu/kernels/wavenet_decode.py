@@ -63,12 +63,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _grouping(cfg: WaveNetConfig):
+def _grouping(cfg: WaveNetConfig, row_lanes: int = 128):
     """Group layers by dilation value (order of first appearance).
 
     Returns (groups, lane_of_layer): groups is [(dilation, [layer idx])];
-    each group's activations occupy one 128-lane row (lane_of_layer[i] is
-    layer i's offset within it).
+    each group's activations occupy one ``row_lanes``-lane row
+    (lane_of_layer[i] is layer i's offset within it).  The resident kernel
+    uses the native 128-lane row; the HBM-streaming variant
+    (kernels.wavenet_decode_hbm) passes a wider multiple of 128 for scaled
+    models.
     """
     Cr = cfg.residual_channels
     order: list[int] = []
@@ -81,9 +84,11 @@ def _grouping(cfg: WaveNetConfig):
     groups = [(d, members[d]) for d in order]
     lane_of_layer = {}
     for d, layers in groups:
-        if len(layers) * Cr > 128:
+        if len(layers) * Cr > row_lanes:
             raise NotImplementedError(
-                f"group of {len(layers)} layers x {Cr} ch exceeds one 128-lane row"
+                f"group of {len(layers)} layers x {Cr} ch exceeds a "
+                f"{row_lanes}-lane row (use the HBM-streaming kernel with a "
+                f"wider row: kernels.wavenet_decode_hbm)"
             )
         for k, i in enumerate(layers):
             lane_of_layer[i] = k * Cr
@@ -242,7 +247,8 @@ def _build_kernel_weights(params: dict, cfg: WaveNetConfig, dtype=jnp.float32):
     return {k: v.astype(dtype) for k, v in w.items()}
 
 
-def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig):
+def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig,
+                         row_lanes: int = 128):
     """Parallel prime: run the conv forward over the prime tokens, extract
     the shift-register init tiles + the boot one-hots.
 
@@ -257,7 +263,7 @@ def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig):
     need = cfg.receptive_field + D_max
     if P < need:
         raise ValueError(f"prime length {P} < receptive_field + max_dilation = {need}")
-    groups, lane_of_layer = _grouping(cfg)
+    groups, lane_of_layer = _grouping(cfg, row_lanes)
 
     # collect per-layer residual streams (valid convs, shrinking lengths)
     x = token_causal_conv(prime, params["causal"])  # [8, P-1, Cr], abs offset 1
@@ -274,7 +280,7 @@ def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig):
 
     S = prime.shape[0]
     total_tiles = sum(d for d, _ in groups)
-    init = jnp.zeros((total_tiles, S, 128), jnp.float32)
+    init = jnp.zeros((total_tiles, S, row_lanes), jnp.float32)
     base = 0
     for g, (d, layers) in enumerate(groups):
         for i in layers:

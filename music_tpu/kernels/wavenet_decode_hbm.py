@@ -1,0 +1,364 @@
+"""HBM-resident-weights WaveNet decode — double-buffered DMA streaming.
+
+The fully-resident kernel (kernels/wavenet_decode.py) pins every weight in
+VMEM, which caps model size at ~16 MB of weights.  This variant keeps only
+the activation ring caches + embeddings resident and streams the layer
+weights HBM -> VMEM each step through double-buffered scratch slots: while
+layer ``i`` computes, layer ``i+1``'s weights are in flight, so the decode
+runs at the speed the HBM bandwidth can feed weights — the roofline for
+any autoregressive decode whose weights exceed VMEM (reference analog:
+wavenet/fast_generate.py:66-141, which re-reads every weight from GPU
+memory per sample too).
+
+Per step: ``2L`` layer-block DMAs (gate pack + projection pack) and
+``(Cs+Q)/PB`` post-matrix column-block DMAs, all double-buffered; the last
+post block's compute overlaps the *next* step's layer-0 prefetch, so the
+DMA engine never drains.
+
+Weight packing (built host-side once):
+- gate pack  ``[L, W + Cr, 2Cd]`` — rows [0,W): the zero-padded prev-tap
+  weights (the matmul extracts the layer's lanes from its group ring row,
+  W = round_up(max_group_layers * Cr, 128) lifts the resident kernel's
+  128-lane group limit); rows [W, W+Cr): the current-tap weights.
+- proj pack  ``[L, Cd, Crp + Cs]`` — dense (zero-padded to a 128-lane
+  boundary Crp, keeping every DMA'd slice lane-aligned) ‖ skip projections.
+- post pack  ``[Cs, Cs + Q]``     — post1 ‖ post2, streamed in PB-lane
+  column blocks (PB = 128 when Cs, Q allow).
+
+Everything else (stream discipline, ring caches, one-hot tokens, MXU lane
+extraction, sampling, output tiling) matches the resident kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from music_tpu.models.wavenet import WaveNetConfig
+from music_tpu.kernels.wavenet_decode import (
+    N_STREAMS,
+    _collect_prime_state,
+    _grouping,
+    _round_up,
+)
+
+
+def _row_lanes(cfg: WaveNetConfig) -> int:
+    """Ring-row width: widest dilation group, rounded up to full lanes."""
+    counts: dict[int, int] = {}
+    for d in cfg.dilations:
+        counts[d] = counts.get(d, 0) + 1
+    return _round_up(max(counts.values()) * cfg.residual_channels, 128)
+
+
+def _post_block(cfg: WaveNetConfig) -> int:
+    Cs, Q = cfg.skip_channels, cfg.quantization_channels
+    return min(128, math.gcd(Cs, Q))
+
+
+def _decode_kernel_hbm(
+    # VMEM inputs
+    cur0_ref,        # [S, Q] — one-hot of the first input token
+    prev0_ref,       # [S, Q] — one-hot of the last prime token
+    ecur_ref,        # [Q, Cr]
+    eprev_ref,       # [Q, Cr]
+    # HBM (ANY) inputs — streamed
+    ring_init_hbm,   # [sum(d_g), S, W] — packed per-group init tiles
+    gate_hbm,        # [L, W + Cr, 2Cd]
+    proj_hbm,        # [L, Cd, Cr + Cs]
+    post_hbm,        # [Cs, Cs + Q]
+    seed_ref,        # SMEM [1] i32
+    # output
+    out_ref,         # [(T//128)*S, 128] i32
+    # scratch
+    *scratch,        # rings per group, gate/proj/post double buffers, 3 DMA sems
+    cfg: WaveNetConfig,
+    total: int,
+    n_streams: int,
+    dtype,
+    sample_mode: str,
+    temperature: float,
+):
+    L = cfg.n_blocks
+    Cr, Cd, Cs, Q = (
+        cfg.residual_channels,
+        cfg.dilation_channels,
+        cfg.skip_channels,
+        cfg.quantization_channels,
+    )
+    S = n_streams
+    NB = 4   # layer-weight buffer slots; prefetch depth NB-1 hides DMA latency
+    W = _row_lanes(cfg)
+    Crp = _round_up(Cr, 128)  # dense block padded to a lane boundary
+    PB = _post_block(cfg)
+    n_p1, n_p2 = Cs // PB, Q // PB
+    n_post = n_p1 + n_p2
+    groups, lane_of_layer = _grouping(cfg, W)
+    n_groups = len(groups)
+    rings = scratch[:n_groups]
+    gate_buf, proj_buf, post_buf, gate_sem, proj_sem, post_sem = scratch[n_groups:]
+    layer_group = {}
+    for g, (d, layers) in enumerate(groups):
+        for i in layers:
+            layer_group[i] = g
+    ring_base = list(np.cumsum([0] + [d for d, _ in groups[:-1]]))
+
+
+    def gate_dma(slot, i):
+        return pltpu.make_async_copy(
+            gate_hbm.at[i], gate_buf.at[slot], gate_sem.at[slot]
+        )
+
+    def proj_dma(slot, i):
+        return pltpu.make_async_copy(
+            proj_hbm.at[i], proj_buf.at[slot], proj_sem.at[slot]
+        )
+
+    def post_dma(slot, j):
+        return pltpu.make_async_copy(
+            post_hbm.at[:, pl.ds(j * PB, PB)], post_buf.at[slot], post_sem.at[slot]
+        )
+
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (S, Q), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+    if sample_mode == "categorical":
+        pltpu.prng_seed(seed_ref[0])
+
+    def sample(logits):
+        if sample_mode == "categorical":
+            bits = pltpu.bitcast(pltpu.prng_random_bits((S, Q)), jnp.uint32)
+            mant = jnp.bitwise_or(
+                jnp.right_shift(bits, jnp.uint32(9)), jnp.uint32(0x3F800000)
+            )
+            u = pltpu.bitcast(mant, jnp.float32) - 1.0  # [0, 1)
+            gumbel = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
+            logits = logits / temperature + gumbel
+        return jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)
+
+    # boot: DMA the ring-cache init from HBM (a VMEM-resident init input
+    # would double the cache footprint and blow the 16 MB budget), then
+    # warm up layer 0's weights for step 0
+    for g, (d, _) in enumerate(groups):
+        init_dma = pltpu.make_async_copy(
+            ring_init_hbm.at[pl.ds(ring_base[g], d)], rings[g], gate_sem.at[0]
+        )
+        init_dma.start()
+        init_dma.wait()
+    for i0 in range(min(NB - 1, L)):
+        gate_dma(i0 % NB, i0).start()
+        proj_dma(i0 % NB, i0).start()
+
+    def step(t, carry):
+        prev_oh, cur_oh, out_row = carry
+
+        x = jnp.dot(cur_oh, ecur_ref[:], preferred_element_type=jnp.float32)
+        x = (x + jnp.dot(prev_oh, eprev_ref[:], preferred_element_type=jnp.float32)).astype(dtype)
+
+        taps = []
+        slots = []
+        for g, (d, layers) in enumerate(groups):
+            slot = t % d if d > 1 else 0
+            slots.append(slot)
+            taps.append(rings[g][pl.ds(slot, 1)][0])  # [S, W]
+
+        xs = []
+        skip_acc = jnp.zeros((S, Cs), jnp.float32)
+        for i in range(L):
+            slot = i % NB
+            nxt = i + NB - 1  # keep NB-1 layers in flight
+            if nxt < L:
+                gate_dma(nxt % NB, nxt).start()
+                proj_dma(nxt % NB, nxt).start()
+            if i + 1 == L:  # last layer: start the first post-matrix block
+                post_dma(0, 0).start()
+            gate_dma(slot, i).wait()
+            proj_dma(slot, i).wait()
+
+            tap = taps[layer_group[i]]
+            xs.append(x)
+            fg = jnp.dot(tap, gate_buf[slot, :W], preferred_element_type=jnp.float32)
+            fg = fg + jnp.dot(x, gate_buf[slot, W:], preferred_element_type=jnp.float32)
+            z = (jnp.tanh(fg[:, :Cd]) * jax.nn.sigmoid(fg[:, Cd:])).astype(dtype)
+            x = (x + jnp.dot(z, proj_buf[slot, :, :Cr], preferred_element_type=jnp.float32)).astype(dtype)
+            skip_acc = skip_acc + jnp.dot(
+                z, proj_buf[slot, :, Crp:], preferred_element_type=jnp.float32
+            )
+
+        for g, (d, layers) in enumerate(groups):
+            pieces = [xs[i] for i in layers]
+            pad = W - len(layers) * Cr
+            if pad:
+                pieces.append(jnp.zeros((S, pad), dtype))
+            new_tile = jnp.concatenate(pieces, axis=1)  # [S, W]
+            rings[g][pl.ds(slots[g], 1)] = new_tile[None]
+
+        # post1 column blocks -> h2; post2 column blocks -> logits
+        h = jax.nn.relu(skip_acc).astype(dtype)
+        h2_blocks = []
+        for j in range(n_p1):
+            slot = j % 2
+            if j + 1 < n_post:
+                post_dma((j + 1) % 2, j + 1).start()
+            post_dma(slot, j).wait()
+            h2_blocks.append(
+                jax.nn.relu(
+                    jnp.dot(h, post_buf[slot], preferred_element_type=jnp.float32)
+                ).astype(dtype)
+            )
+        h2 = jnp.concatenate(h2_blocks, axis=1)  # [S, Cs]
+        logit_blocks = []
+        for j2 in range(n_p2):
+            j = n_p1 + j2
+            slot = j % 2
+            if j + 1 < n_post:
+                post_dma((j + 1) % 2, j + 1).start()
+            else:
+                # overlap the NEXT step's layer-0 prefetch with the tail
+                @pl.when(t + 1 < total)
+                def _():
+                    for i0 in range(min(NB - 1, L)):
+                        gate_dma(i0 % NB, i0).start()
+                        proj_dma(i0 % NB, i0).start()
+            post_dma(slot, j).wait()
+            logit_blocks.append(
+                jnp.dot(h2, post_buf[slot], preferred_element_type=jnp.float32)
+            )
+        logits = jnp.concatenate(logit_blocks, axis=1)  # [S, Q] f32
+
+        next_tok = sample(logits)  # [S, 1]
+        next_oh = (q_iota == next_tok).astype(dtype)
+
+        out_row = jnp.where(lane_iota == (t % 128), next_tok, out_row)
+
+        @pl.when(t % 128 == 127)
+        def _():
+            base = pl.multiple_of((t // 128) * S, 8)
+            out_ref[pl.ds(base, S), :] = out_row
+
+        return cur_oh, next_oh, out_row
+
+    jax.lax.fori_loop(
+        0,
+        total,
+        step,
+        (prev0_ref[:], cur0_ref[:], jnp.zeros((S, 128), jnp.int32)),
+    )
+
+
+def _build_hbm_weights(params: dict, cfg: WaveNetConfig, dtype=jnp.float32):
+    """Pack the model pytree into the three streamed HBM layouts."""
+    L, Cr, Cd, Cs = (
+        cfg.n_blocks,
+        cfg.residual_channels,
+        cfg.dilation_channels,
+        cfg.skip_channels,
+    )
+    W = _row_lanes(cfg)
+    _, lane_of_layer = _grouping(cfg, W)
+
+    gate = jnp.zeros((L, W + Cr, 2 * Cd), jnp.float32)
+    for i in range(L):
+        off = lane_of_layer[i]
+        gate = gate.at[i, off : off + Cr].set(params["fg"][i, 0])   # prev tap
+        gate = gate.at[i, W : W + Cr].set(params["fg"][i, 1])        # cur tap
+    Crp = _round_up(Cr, 128)
+    dense_p = jnp.zeros((L, Cd, Crp), jnp.float32).at[:, :, :Cr].set(params["dense"])
+    proj = jnp.concatenate([dense_p, params["skip"]], axis=2)  # [L,Cd,Crp+Cs]
+    post = jnp.concatenate([params["post1"], params["post2"]], axis=1)  # [Cs,Cs+Q]
+    return {
+        "ecur": params["causal"][1].astype(dtype),
+        "eprev": params["causal"][0].astype(dtype),
+        "gate": gate.astype(dtype),
+        "proj": proj.astype(dtype),
+        "post": post.astype(dtype),
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "n_steps", "interpret", "n_streams", "dtype", "sample_mode",
+        "temperature",
+    ),
+)
+def generate_tokens_fused_hbm(
+    params: dict,
+    prime: jax.Array,
+    *,
+    cfg: WaveNetConfig,
+    n_steps: int,
+    interpret: bool = False,
+    n_streams: int = N_STREAMS,
+    dtype=jnp.float32,
+    sample_mode: str = "argmax",
+    temperature: float = 1.0,
+    seed: int = 0,
+) -> jax.Array:
+    """Generate ``n_steps`` codes per stream with weights streamed from HBM.
+
+    Same contract as :func:`kernels.wavenet_decode.generate_tokens_fused`
+    but with no VMEM ceiling on model size: use this for scaled configs
+    (wide skip/residual channels) whose weights exceed ~12 MB.  Exactness
+    vs the lax.scan reference is verified in tests/test_pallas_hbm_decode.py.
+    """
+    if cfg.filter_width != 2:
+        raise NotImplementedError("fused decode assumes filter_width=2")
+    if cfg.use_bias:
+        raise NotImplementedError("fused decode assumes use_bias=False")
+    B = prime.shape[0]
+    S = n_streams
+    if B > S:
+        raise ValueError(f"at most {S} streams, got {B}")
+    if B < S:
+        prime = jnp.concatenate([prime, jnp.tile(prime[-1:], (S - B, 1))], axis=0)
+    W = _row_lanes(cfg)
+    PB = _post_block(cfg)
+    if cfg.skip_channels % PB or cfg.quantization_channels % PB:
+        raise NotImplementedError("Cs and Q must share a 128-ish divisor")
+    groups, _ = _grouping(cfg, W)
+
+    ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, cfg, W)
+    ring0, cur0, prev0 = ring0.astype(dtype), cur0.astype(dtype), prev0.astype(dtype)
+    w = _build_hbm_weights(params, cfg, dtype)
+
+    total = _round_up(n_steps, 128)
+    kernel = functools.partial(
+        _decode_kernel_hbm, cfg=cfg, total=total, n_streams=S, dtype=dtype,
+        sample_mode=sample_mode, temperature=temperature,
+    )
+    Cr, Cd, Cs, Q = (
+        cfg.residual_channels, cfg.dilation_channels,
+        cfg.skip_channels, cfg.quantization_channels,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(((total // 128) * S, 128), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((d, S, W), dtype) for d, _ in groups]
+        + [
+            pltpu.VMEM((4, W + Cr, 2 * Cd), dtype),   # gate buffers (NB=4)
+            pltpu.VMEM((4, Cd, _round_up(Cr, 128) + Cs), dtype),  # proj buffers
+            pltpu.VMEM((2, Cs, PB), dtype),           # post double buffer
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        cur0, prev0, w["ecur"], w["eprev"],
+        ring0, w["gate"], w["proj"], w["post"],
+        jnp.asarray([seed], jnp.int32),
+    )
+    toks = out.reshape(total // 128, S, 128)
+    toks = jnp.swapaxes(toks, 0, 1).reshape(S, total)[:, :n_steps]
+    return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]

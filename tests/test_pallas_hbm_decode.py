@@ -1,0 +1,97 @@
+"""HBM-streaming Pallas decode vs the lax.scan reference (interpret mode).
+
+Covers what the fully-resident kernel can't: configs whose dilation groups
+exceed one 128-lane ring row, and (on hardware) weights beyond VMEM."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from music_tpu.kernels.wavenet_decode import generate_tokens_fused
+from music_tpu.kernels.wavenet_decode_hbm import (
+    _row_lanes,
+    generate_tokens_fused_hbm,
+)
+from music_tpu.models import wavenet as wn
+
+TINY = wn.WaveNetConfig(
+    filter_width=2,
+    dilations=(1, 2, 4, 8, 1, 2, 4, 8),
+    dilation_channels=8,
+    residual_channels=8,
+    skip_channels=16,
+    quantization_channels=32,
+    use_bias=False,
+)
+
+# 9 layers per dilation group x 16 residual channels = 144 lanes > 128:
+# the resident kernel raises NotImplementedError on this shape
+WIDE = wn.WaveNetConfig(
+    filter_width=2,
+    dilations=(1, 2) * 9,
+    dilation_channels=8,
+    residual_channels=16,
+    skip_channels=16,
+    quantization_channels=32,
+    use_bias=False,
+)
+
+
+def test_hbm_decode_matches_scan():
+    params = wn.init_params(jax.random.PRNGKey(0), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 16
+    prime = jax.random.randint(jax.random.PRNGKey(1), (1, P), 0, 32)
+
+    ref = wn.generate_tokens(
+        params, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=150, prime_len=P, sample_mode="argmax",
+    )
+    fused = generate_tokens_fused_hbm(
+        params, prime, cfg=TINY, n_steps=150, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+def test_hbm_decode_wide_group_matches_scan():
+    """Dilation groups wider than one 128-lane row (the resident kernel's
+    hard limit, wavenet_decode.py _grouping) decode correctly."""
+    assert _row_lanes(WIDE) == 256
+    params = wn.init_params(jax.random.PRNGKey(3), WIDE)
+    P = WIDE.receptive_field + max(WIDE.dilations) + 4
+    prime = jax.random.randint(jax.random.PRNGKey(4), (2, P), 0, 32)
+
+    with pytest.raises(NotImplementedError):
+        generate_tokens_fused(params, prime, cfg=WIDE, n_steps=8, interpret=True)
+
+    ref = wn.generate_tokens(
+        params, prime, jax.random.PRNGKey(0),
+        cfg=WIDE, n_steps=60, prime_len=P, sample_mode="argmax",
+    )
+    fused = generate_tokens_fused_hbm(
+        params, prime, cfg=WIDE, n_steps=60, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+def test_hbm_decode_nonmultiple_of_128():
+    params = wn.init_params(jax.random.PRNGKey(2), TINY)
+    P = TINY.receptive_field + max(TINY.dilations)
+    prime = jnp.full((1, P), 16, jnp.int32)
+    out = generate_tokens_fused_hbm(
+        params, prime, cfg=TINY, n_steps=37, interpret=True
+    )
+    assert out.shape == (1, 37)
+    assert (out >= 0).all() and (out < 32).all()
+
+
+def test_hbm_decode_bf16_16_stream_interpret():
+    params = wn.init_params(jax.random.PRNGKey(7), TINY)
+    P = TINY.receptive_field + max(TINY.dilations)
+    prime = jax.random.randint(jax.random.PRNGKey(8), (3, P), 0, 32)
+    out = generate_tokens_fused_hbm(
+        params, prime, cfg=TINY, n_steps=20, interpret=True,
+        n_streams=16, dtype=jnp.bfloat16,
+    )
+    assert out.shape == (3, 20)
+    assert (out >= 0).all() and (out < 32).all()
