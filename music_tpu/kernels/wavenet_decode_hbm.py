@@ -321,6 +321,13 @@ def generate_tokens_fused_hbm(
     PB = _post_block(cfg)
     if cfg.skip_channels % PB or cfg.quantization_channels % PB:
         raise NotImplementedError("Cs and Q must share a 128-ish divisor")
+    if not interpret and (PB < 128 or (2 * cfg.dilation_channels) % 128):
+        # hardware DMA'd blocks must be 128-lane aligned in their minor dim;
+        # tiny configs are interpret-mode (test) territory anyway
+        raise NotImplementedError(
+            "the hardware path needs skip_channels, quantization_channels "
+            "multiples of 128 and dilation_channels a multiple of 64"
+        )
     groups, _ = _grouping(cfg, W)
 
     ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, cfg, W)
