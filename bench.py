@@ -1,12 +1,24 @@
 """Benchmark harness — run on real TPU hardware by the driver.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line.  Headline metric (BASELINE.json north star): WaveNet
+fast-generate autoregressive decode throughput, single stream, full-size
+model (40 blocks, receptive field 4094) — target >= 10,000 samples/sec/chip;
+``vs_baseline`` = value / 10_000 (the PyTorch reference itself runs
+~10-100 samples/sec of Python-stepped decode).
 
-Headline metric (BASELINE.json north star): WaveNet fast-generate
-autoregressive decode throughput, single stream, full-size model
-(40 blocks, receptive field 4094) — target >= 10,000 samples/sec/chip.
-``vs_baseline`` is value / 10_000 (the driver-supplied target; the PyTorch
-reference itself runs ~10-100 samples/sec of Python-stepped decode).
+The line also carries the full perf story (VERDICT r1 #9):
+- ``total_samples_per_sec`` + ``kernel_mode`` — the f32x8 kernel decodes 8
+  independent streams at the reported single-stream latency;
+- ``bf16x16_total_samples_per_sec`` — the high-throughput mode (16 streams
+  in the native bf16 tile);
+- ``achieved_tflops_*`` / ``mxu_utilization_pct`` — executed-matmul FLOP/s
+  and fraction of v5e bf16 peak.  Sequential single-sample decode is
+  latency-bound, not FLOP-bound: the model is ~25 MFLOP/step, so low MXU
+  utilization is expected and the samples/sec numbers are the honest
+  metric; the utilization figure is reported so the headroom is visible.
+- ``scaled_hbm`` — the HBM-streaming kernel on a 4.4x model whose weights
+  exceed VMEM: total samples/s and achieved HBM read bandwidth (that
+  kernel's true roofline).
 """
 
 import json
@@ -18,53 +30,139 @@ import jax.numpy as jnp
 import numpy as np
 
 TARGET_SAMPLES_PER_SEC = 10_000.0
+V5E_PEAK_BF16_TFLOPS = 197.0
+V5E_PEAK_HBM_GBPS = 819.0
+TIME_BUDGET_S = 560.0  # the driver runs `timeout 580 python bench.py`
+
+_START = time.perf_counter()
 
 
-def bench_wavenet_generate(n_steps: int = 16_384) -> tuple[float, float]:
-    """Returns (single_stream_rate, total_rate) via the fused Pallas kernel
-    (music_tpu/kernels/wavenet_decode.py): the whole autoregressive loop in
-    one on-chip kernel, 8 independent streams in the sublane dimension."""
+def _elapsed() -> float:
+    return time.perf_counter() - _START
+
+
+def matmul_flops_per_step(cfg, n_streams: int) -> float:
+    """Executed matmul FLOPs per decode step (incl. the zero-padded tap
+    rows the kernel actually multiplies)."""
+    from music_tpu.kernels.wavenet_decode import _grouping, _round_up
+
+    L, Cr, Cd = cfg.n_blocks, cfg.residual_channels, cfg.dilation_channels
+    Cs, Q = cfg.skip_channels, cfg.quantization_channels
+    counts = {}
+    for d in cfg.dilations:
+        counts[d] = counts.get(d, 0) + 1
+    W = _round_up(max(counts.values()) * Cr, 128)  # tap row width
+    f = 2 * (2 * Q * Cr)                                  # embedding taps
+    f += L * (2 * W * 2 * Cd + 2 * Cr * 2 * Cd + 2 * Cd * Cr)  # gated layers
+    f += 2 * (L * Cd * Cs) + 2 * Cs * Cs + 2 * Cs * Q      # skip + post
+    return float(f * n_streams)
+
+
+def _bench(fn, params, cfg, n_steps, n_streams, dtype, P):
+    """(samples/s/stream, total samples/s) with relay-safe timing: fresh
+    inputs per call (a cross-process cache serves repeated (exe, input)
+    pairs) and host fetch inside the timed region (block_until_ready can
+    return at dispatch-ack)."""
+    def run(seed):
+        prime = jax.random.randint(
+            jax.random.PRNGKey(seed), (n_streams, P), 0,
+            cfg.quantization_channels,
+        )
+        out = fn(
+            params, prime, cfg=cfg, n_steps=n_steps,
+            n_streams=n_streams, dtype=dtype,
+        )
+        return np.asarray(out)
+
+    nonce = int(time.time() * 1000) % 2**31
+    run(nonce)      # compile
+    run(nonce + 1)  # the second call can also pay a multi-second cost
+    t0 = time.perf_counter()
+    run(nonce + 2)
+    dt = time.perf_counter() - t0
+    return n_steps / dt, n_steps * n_streams / dt
+
+
+def main():
     from music_tpu.models import wavenet as wn
-    from music_tpu.kernels.wavenet_decode import N_STREAMS, generate_tokens_fused
+    from music_tpu.kernels.wavenet_decode import generate_tokens_fused
 
     cfg = wn.WaveNetConfig()
     params = wn.init_params(jax.random.PRNGKey(0), cfg)
     P = cfg.receptive_field + max(cfg.dilations)
+    N = 16_384
 
-    def run(seed):
-        # vary the prime with a time-based nonce: identical (input,
-        # executable) pairs can be served from an execution cache on relayed
-        # backends — and the result must be fetched to host inside the timed
-        # region, since block_until_ready can return at dispatch-ack
-        prime = jax.random.randint(jax.random.PRNGKey(seed), (N_STREAMS, P), 0, 256)
-        out = generate_tokens_fused(params, prime, cfg=cfg, n_steps=n_steps)
-        return np.asarray(out)
-
-    nonce = int(time.time() * 1000) % 2**31
-    run(nonce)  # compile + warm
-    t0 = time.perf_counter()
-    run(nonce + 1)
-    t1 = time.perf_counter()
-    dt = t1 - t0
-    return n_steps / dt, n_steps * N_STREAMS / dt
-
-
-def main():
-    rate, total_rate = bench_wavenet_generate()
-    print(
-        f"# single-stream {rate:.0f} samples/s; 8-stream total {total_rate:.0f} samples/s",
-        file=sys.stderr,
+    rate, total = _bench(
+        generate_tokens_fused, params, cfg, N, 8, jnp.float32, P
     )
-    print(
-        json.dumps(
-            {
-                "metric": "wavenet_fast_generate_throughput_single_stream",
-                "value": round(rate, 1),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(rate / TARGET_SAMPLES_PER_SEC, 3),
+    flops8 = matmul_flops_per_step(cfg, 8)
+    out = {
+        "metric": "wavenet_fast_generate_throughput_single_stream",
+        "value": round(rate, 1),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(rate / TARGET_SAMPLES_PER_SEC, 3),
+        "kernel_mode": "f32x8",
+        "total_samples_per_sec": round(total, 1),
+        "mflop_per_step": round(flops8 / 1e6, 2),
+        "achieved_tflops_f32x8": round(rate * flops8 / 1e12, 4),
+        "mxu_utilization_pct": round(
+            100.0 * rate * flops8 / 1e12 / V5E_PEAK_BF16_TFLOPS, 2
+        ),
+    }
+    print(f"# f32x8: {rate:.0f}/s single, {total:.0f}/s total", file=sys.stderr)
+
+    # high-throughput mode: 16 streams in the native bf16 (16,128) tile
+    try:
+        if _elapsed() < TIME_BUDGET_S - 150:
+            rate16, total16 = _bench(
+                generate_tokens_fused, params, cfg, N, 16, jnp.bfloat16, P
+            )
+            flops16 = matmul_flops_per_step(cfg, 16)
+            out["bf16x16_total_samples_per_sec"] = round(total16, 1)
+            out["achieved_tflops_bf16x16"] = round(rate16 * flops16 / 1e12, 4)
+            print(f"# bf16x16: {total16:.0f}/s total", file=sys.stderr)
+    except Exception as e:  # never lose the headline metric
+        print(f"# bf16x16 mode failed: {e}", file=sys.stderr)
+
+    # scaled model (weights > VMEM) through the HBM-streaming kernel
+    try:
+        if _elapsed() < TIME_BUDGET_S - 120:
+            from music_tpu.kernels.wavenet_decode_hbm import (
+                generate_tokens_fused_hbm,
+            )
+
+            scaled = wn.WaveNetConfig(
+                filter_width=2,
+                dilations=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512) * 4,
+                dilation_channels=64,
+                residual_channels=64,
+                skip_channels=1024,
+                quantization_channels=256,
+                use_bias=False,
+            )
+            sp = wn.init_params(jax.random.PRNGKey(1), scaled)
+            w_mb = sum(
+                int(np.prod(v.shape)) * 4
+                for v in jax.tree_util.tree_leaves(sp)
+            ) / 1e6
+            Ps = scaled.receptive_field + max(scaled.dilations)
+            srate, stotal = _bench(
+                generate_tokens_fused_hbm, sp, scaled, 2048, 8, jnp.float32, Ps
+            )
+            out["scaled_hbm"] = {
+                "weights_mb_f32": round(w_mb, 1),
+                "samples_per_sec_stream": round(srate, 1),
+                "total_samples_per_sec": round(stotal, 1),
+                "effective_hbm_gbps": round(srate * w_mb / 1e3, 1),
+                "pct_of_peak_hbm_bw": round(
+                    100.0 * srate * w_mb / 1e3 / V5E_PEAK_HBM_GBPS, 1
+                ),
             }
-        )
-    )
+            print(f"# scaled-hbm: {stotal:.0f}/s total ({w_mb:.1f} MB)", file=sys.stderr)
+    except Exception as e:
+        print(f"# scaled hbm mode failed: {e}", file=sys.stderr)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
