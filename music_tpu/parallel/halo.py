@@ -28,11 +28,18 @@ import jax
 import jax.numpy as jnp
 
 
-def left_halo_exchange(x: jax.Array, halo: int, axis_name: str = "seq", time_axis: int = 1):
+def left_halo_exchange(
+    x: jax.Array,
+    halo: int,
+    axis_name: str = "seq",
+    time_axis: int = 1,
+    first_shard_fill: jax.Array | None = None,
+):
     """Prepend the left neighbor's trailing ``halo`` timesteps to ``x``.
 
     Must run inside ``shard_map``/``pmap`` with ``axis_name`` bound.  The
-    first shard receives zeros.
+    first shard receives ``first_shard_fill`` (its real left context — e.g.
+    the tail of a receptive-field margin buffer), or zeros if not given.
 
     Args:
       x: local chunk, time on ``time_axis``.
@@ -40,6 +47,7 @@ def left_halo_exchange(x: jax.Array, halo: int, axis_name: str = "seq", time_axi
         (``receptive_field - 1`` for a causal conv stack).
       axis_name: mesh axis the sequence is sharded over.
       time_axis: which dim of ``x`` is time.
+      first_shard_fill: ``[..., halo, ...]`` left context for shard 0.
 
     Returns:
       ``x`` with ``halo`` extra leading timesteps.
@@ -53,5 +61,6 @@ def left_halo_exchange(x: jax.Array, halo: int, axis_name: str = "seq", time_axi
         # send right: shard i's tail -> shard i+1 (non-ring: shard 0 gets zeros)
         recv = jax.lax.ppermute(tail, axis_name, [(i, i + 1) for i in range(n - 1)])
     idx = jax.lax.axis_index(axis_name)
-    recv = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+    fill = jnp.zeros_like(recv) if first_shard_fill is None else first_shard_fill
+    recv = jnp.where(idx == 0, fill, recv)
     return jax.lax.concatenate([recv, x], dimension=time_axis)

@@ -43,18 +43,77 @@ def ae_param_specs(cfg: ae.WaveNetAEConfig, tp: bool) -> dict:
     return specs
 
 
-def _sharded_ae_loss(params, tokens, cfg: ae.WaveNetAEConfig):
+def _seq_sharded_encode(params, inputs, cfg: ae.WaveNetAEConfig, sp: int):
+    """Sequence-parallel encoder: activations sharded over the ``seq`` axis.
+
+    Each shard owns ``w = E/sp`` time positions of every layer's activation
+    (E = encoder output length) and receives each layer's ``dilation``-wide
+    left context from its left neighbor via :func:`left_halo_exchange`
+    (``ppermute`` — gradients flow back through the exchange).  Shard 0's
+    context comes from a replicated *margin* buffer holding the global
+    receptive-field zone [0, sum(d)); the margin shrinks by d per layer and
+    is fully consumed by the last one — so the result is EXACTLY the
+    unsharded valid-conv encoder (tests/test_wavenet_ae_seq.py), the conv
+    analog of ring attention (SURVEY.md §2.6).
+    """
+    from music_tpu.parallel.halo import left_halo_exchange
+
+    M = sum(cfg.dilations)
+    Ti = inputs.shape[1]
+    E = Ti - 1 - M  # encoder output length (valid convs, fw=2)
+    w = E // sp
+    s = jax.lax.axis_index("seq")
+
+    # layer-0 activations: local chunk (w+1 tokens -> w positions) + margin
+    local_toks = jax.lax.dynamic_slice_in_dim(inputs, M + s * w, w + 1, axis=1)
+    x = token_causal_conv(local_toks, params["en_causal"])      # [B, w, Cr]
+    margin = token_causal_conv(inputs[:, : M + 1], params["en_causal"])  # [B, M, Cr]
+
+    remaining = M
+    for i, d in enumerate(cfg.dilations):
+        fill = margin[:, -d:, :]
+        x_ext = left_halo_exchange(x, d, "seq", first_shard_fill=fill)
+        h = jax.nn.relu(x_ext)
+        h = dilated_causal_conv(h, params["en_dil"][i], dilation=d)
+        h = jax.nn.relu(h)
+        h = conv1x1(h, params["en_dense"][i])
+        x = h + x  # residual: x_ext[:, d:] == x
+
+        remaining -= d
+        if remaining > 0:  # the last layer consumes the margin entirely
+            mh = jax.nn.relu(margin)
+            mh = dilated_causal_conv(mh, params["en_dil"][i], dilation=d)
+            mh = jax.nn.relu(mh)
+            mh = conv1x1(mh, params["en_dense"][i])
+            margin = mh + margin[:, d:, :]
+
+    x = conv1x1(x, params["bottleneck"])                        # [B, w, W]
+    k = cfg.en_pool_kernel_size
+    frames = x.reshape(x.shape[0], w // k, k, -1).mean(axis=2)  # local pool
+    # global encoding: contiguous shard chunks in order
+    return jax.lax.all_gather(frames, "seq", axis=1, tiled=True)
+
+
+def _sharded_ae_loss(params, tokens, cfg: ae.WaveNetAEConfig, sp: int = 1):
     """Local loss inside shard_map: batch over ``data``, skip pathway over
-    ``model``; computation is replicated over ``seq`` (the AE's pooling
-    boundaries make sequence sharding a poor fit — SURVEY.md §2.6 requires
-    dp; tp is the added capability)."""
+    ``model``, and — when the window divides evenly — the ENCODER's time
+    axis over ``seq`` with per-layer halo exchange
+    (:func:`_seq_sharded_encode`); the decoder replicates over ``seq``.
+    Falls back to a seq-replicated encoder when shapes don't divide."""
     Cd = cfg.de_dilation_channel
     inputs = tokens[:, :-1]
     targets = tokens[:, cfg.receptive_field:]
     T = inputs.shape[1]
     output_width = T - cfg.receptive_field + 1
 
-    encoding = ae.encode(params, inputs, cfg)
+    M = sum(cfg.dilations)
+    E = T - 1 - M
+    k = cfg.en_pool_kernel_size
+    used_seq = sp > 1 and E % sp == 0 and (E // sp) % k == 0
+    if used_seq:
+        encoding = _seq_sharded_encode(params, inputs, cfg, sp)
+    else:
+        encoding = ae.encode(params, inputs, cfg)
 
     x = token_causal_conv(inputs, params["de_causal"])
     skip_total = None
@@ -76,16 +135,18 @@ def _sharded_ae_loss(params, tokens, cfg: ae.WaveNetAEConfig):
 
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
-    # value is invariant over seq/model (tokens replicated there); only the
-    # data axis needs the mean
-    return jax.lax.pmean(jnp.mean(nll), "data")
+    # after the seq-sharded encoder the value is seq-varying (numerically
+    # equal across shards); the seq pmean marks it replicated again.  On the
+    # fallback path it is already seq-invarying and must not be re-reduced.
+    axes = ("data", "seq") if used_seq else ("data",)
+    return jax.lax.pmean(jnp.mean(nll), axes)
 
 
 def make_loss_fn(cfg: ae.WaveNetAEConfig, mesh: Mesh):
     tp = mesh.shape["model"] > 1
     specs = ae_param_specs(cfg, tp)
     fn = shard_map(
-        functools.partial(_sharded_ae_loss, cfg=cfg),
+        functools.partial(_sharded_ae_loss, cfg=cfg, sp=mesh.shape["seq"]),
         mesh=mesh,
         in_specs=(specs, P("data", None)),
         out_specs=P(),
