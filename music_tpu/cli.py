@@ -207,8 +207,36 @@ def cmd_crnngan(args):
 
 
 def cmd_dataset(args):
+    if args.action == "scrape-midi":
+        import json
+
+        from music_tpu.data.midi_scraper import (
+            DEFAULT_SOURCES, download, write_split_lists,
+        )
+
+        cfg = json.loads(Path(args.sources or DEFAULT_SOURCES).read_text())
+        sources = cfg.get("sources", cfg)
+        written = download(
+            args.out_dir, sources,
+            max_files_per_source=args.max_per_source,
+        )
+        sp = cfg.get("splits", {})
+        splits = write_split_lists(
+            args.out_dir,
+            validation_fraction=sp.get("validation_fraction", 0.2),
+            test_fraction=sp.get("test_fraction", 0.1),
+            seed=sp.get("seed", 0),
+        )
+        print(
+            f"{len(written)} new files; splits: "
+            + ", ".join(f"{k}={len(v)}" for k, v in splits.items())
+        )
+        return
+
     from music_tpu.data.audio import build_dataset, wavs_to_pickle
 
+    if not args.audio_dir:
+        sys.exit("build-audio requires --audio-dir")
     pieces = build_dataset(
         args.audio_dir, args.out_dir,
         duration=args.duration, sample_rate=args.sample_rate,
@@ -274,11 +302,13 @@ def main(argv=None):
     p.set_defaults(fn=cmd_crnngan)
 
     p = sub.add_parser("dataset")
-    p.add_argument("action", choices=["build-audio"])
-    p.add_argument("--audio-dir", required=True)
+    p.add_argument("action", choices=["build-audio", "scrape-midi"])
+    p.add_argument("--audio-dir")
     p.add_argument("--out-dir", required=True)
     p.add_argument("--duration", type=int, default=20)
     p.add_argument("--sample-rate", type=int, default=16000)
+    p.add_argument("--sources", help="scrape-midi: sources JSON (default: shipped table)")
+    p.add_argument("--max-per-source", type=int, help="scrape-midi: cap per composer")
     p.set_defaults(fn=cmd_dataset)
 
     p = sub.add_parser("vis")

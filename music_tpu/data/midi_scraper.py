@@ -111,3 +111,58 @@ def download(
                 if delay_seconds:
                     time.sleep(delay_seconds)
     return written
+
+
+DEFAULT_SOURCES = Path(__file__).parent.parent / "params" / "c_rnn_gan" / "midi_sources.json"
+
+
+def split_files(
+    files: list[str | Path],
+    *,
+    validation_fraction: float = 0.2,
+    test_fraction: float = 0.1,
+    seed: int = 0,
+) -> dict[str, list[str]]:
+    """Deterministic train/validation/test split of downloaded MIDI paths.
+
+    The reference ships two hand-curated file lists (310 validation + 155
+    test names inline in download_midi.py:168-633); since the corpus
+    content depends on what the crawl finds, this uses a seeded
+    content-independent hash of each relative path instead — stable across
+    runs and machines for the same file set.
+    """
+    import hashlib
+
+    val, test, train = [], [], []
+    for f in sorted(str(f) for f in files):
+        h = int.from_bytes(
+            hashlib.sha256(f"{seed}:{f}".encode()).digest()[:8], "big"
+        ) / 2**64
+        if h < validation_fraction:
+            val.append(f)
+        elif h < validation_fraction + test_fraction:
+            test.append(f)
+        else:
+            train.append(f)
+    return {"train": train, "validation": val, "test": test}
+
+
+def write_split_lists(
+    data_dir: str | Path,
+    splits: dict[str, list[str]] | None = None,
+    **split_kwargs,
+) -> dict[str, list[str]]:
+    """Write ``<split>_files.txt`` lists under ``data_dir`` (the usable
+    equivalent of the reference's inline curated lists).  Paths are stored
+    relative to ``data_dir``."""
+    data_dir = Path(data_dir)
+    if splits is None:
+        files = [
+            str(p.relative_to(data_dir)) for p in sorted(data_dir.rglob("*.mid"))
+        ]
+        splits = split_files(files, **split_kwargs)
+    for name, paths in splits.items():
+        (data_dir / f"{name}_files.txt").write_text(
+            "\n".join(str(p) for p in paths) + ("\n" if paths else "")
+        )
+    return splits

@@ -95,3 +95,37 @@ def token_batches(
         for i in range(0, end, batch_size):
             yield data[order[i : i + batch_size]]
         epoch += 1
+
+
+def split_corpus(
+    corpus: np.ndarray,
+    *,
+    eval_fraction: float = 1274 / 11274,
+    gen_size: int = 128,
+    test_size: int = 128,
+    seed: int = 0,
+    out_dir: str | Path | None = None,
+) -> dict[str, np.ndarray]:
+    """Train/eval/gen/test corpus splits — the reference's shipped artifact
+    set (leak_gan/data/{train,eval,gen,test}_corpus.npy, sized
+    [10000/1274/128/128] for its 11274-poem corpus; SURVEY.md §2.3).
+
+    A seeded shuffle partitions the corpus into train/eval; ``gen`` and
+    ``test`` are small subsets drawn from the train partition (matching the
+    reference's sizes).  With ``out_dir``, writes ``<split>_corpus.npy``
+    files alongside ``corpus.npy``.
+    """
+    n = len(corpus)
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    n_eval = min(max(int(round(n * eval_fraction)), 1), n - 1)
+    train, eval_ = corpus[order[n_eval:]], corpus[order[:n_eval]]
+    gen = train[rng.permutation(len(train))[: min(gen_size, len(train))]]
+    test = train[rng.permutation(len(train))[: min(test_size, len(train))]]
+    splits = {"train": train, "eval": eval_, "gen": gen, "test": test}
+    if out_dir is not None:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for name, arr in splits.items():
+            np.save(out_dir / f"{name}_corpus.npy", arr)
+    return splits

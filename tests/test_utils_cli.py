@@ -67,3 +67,64 @@ def test_cli_help_and_vis(tmp_path, capsys):
     log.write_text("Trained over 10 pieces,Average loss is 1.5\n")
     main(["vis", "loss", "--log", str(log), "--out", str(tmp_path / "l.png")])
     assert (tmp_path / "l.png").exists()
+
+
+def test_split_corpus(tmp_path):
+    """Reference split-artifact parity: train/eval/gen/test_corpus.npy
+    (leak_gan/data/ ships [10000/1274/128/128] of an 11274-row corpus)."""
+    from music_tpu.data.tokens import split_corpus
+
+    corpus = np.arange(200 * 4, dtype=np.int64).reshape(200, 4)
+    splits = split_corpus(corpus, gen_size=16, test_size=16, seed=3, out_dir=tmp_path)
+    assert len(splits["train"]) + len(splits["eval"]) == 200
+    assert len(splits["gen"]) == 16 and len(splits["test"]) == 16
+    # train/eval partition is disjoint over rows
+    train_ids = {int(r[0]) for r in splits["train"]}
+    eval_ids = {int(r[0]) for r in splits["eval"]}
+    assert not train_ids & eval_ids
+    # gen/test drawn from train
+    assert {int(r[0]) for r in splits["gen"]} <= train_ids
+    for name in ("train", "eval", "gen", "test"):
+        arr = np.load(tmp_path / f"{name}_corpus.npy")
+        np.testing.assert_array_equal(arr, splits[name])
+    # deterministic
+    again = split_corpus(corpus, gen_size=16, test_size=16, seed=3)
+    np.testing.assert_array_equal(again["train"], splits["train"])
+
+
+def test_midi_split_lists(tmp_path):
+    """Hash-based train/validation/test file splits replace the reference's
+    inline curated lists (c-rnn-gan/download_midi.py:168-633)."""
+    from music_tpu.data.midi_scraper import split_files, write_split_lists
+
+    files = [f"classical/bach/piece{i:03d}.mid" for i in range(300)]
+    splits = split_files(files, validation_fraction=0.2, test_fraction=0.1, seed=1)
+    n = sum(len(v) for v in splits.values())
+    assert n == 300
+    assert 30 <= len(splits["validation"]) <= 90   # ~60 expected
+    assert 10 <= len(splits["test"]) <= 60         # ~30 expected
+    # every file in exactly one split; deterministic
+    all_files = sorted(splits["train"] + splits["validation"] + splits["test"])
+    assert all_files == sorted(files)
+    again = split_files(files, validation_fraction=0.2, test_fraction=0.1, seed=1)
+    assert again == splits
+
+    # write lists from a real directory tree
+    for name in files[:10]:
+        p = tmp_path / name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(b"MThd")
+    written = write_split_lists(tmp_path, validation_fraction=0.2, test_fraction=0.1)
+    listed = []
+    for split in ("train", "validation", "test"):
+        listed += (tmp_path / f"{split}_files.txt").read_text().split()
+    assert sorted(listed) == sorted(str(f) for f in [f[len(""):] for f in files[:10]])
+
+
+def test_default_midi_sources_config_loads():
+    from music_tpu.data.midi_scraper import DEFAULT_SOURCES
+
+    cfg = json.loads(DEFAULT_SOURCES.read_text())
+    assert len(cfg["sources"]) >= 15
+    assert all(k.startswith("classical/") for k in cfg["sources"])
+    assert 0 < cfg["splits"]["validation_fraction"] < 1
