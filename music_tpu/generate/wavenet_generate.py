@@ -25,6 +25,36 @@ from music_tpu.models import wavenet as wn
 from music_tpu.ops.mulaw import mu_law_decode
 
 
+def _fused_decode(params, prime, cfg, n_steps, on_tpu, sample_mode, temperature, seed):
+    """Pick the right Pallas kernel for this config: the fully-resident one
+    when the weights fit VMEM and every dilation group fits one 128-lane
+    row, else the HBM-streaming variant (kernels/wavenet_decode_hbm.py).
+    Returns None when neither supports the config (caller falls back to the
+    lax.scan path)."""
+    from music_tpu.kernels import wavenet_decode, wavenet_decode_hbm
+
+    weight_bytes = sum(
+        int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(params)
+    )
+    try:
+        wavenet_decode._grouping(cfg)
+        resident_ok = weight_bytes < 12e6  # leave room for rings + output
+    except NotImplementedError:
+        resident_ok = False
+    fn = (
+        wavenet_decode.generate_tokens_fused
+        if resident_ok
+        else wavenet_decode_hbm.generate_tokens_fused_hbm
+    )
+    try:
+        return fn(
+            params, prime, cfg=cfg, n_steps=n_steps, interpret=not on_tpu,
+            sample_mode=sample_mode, temperature=temperature, seed=seed,
+        )
+    except NotImplementedError:
+        return None
+
+
 def generate(
     *,
     cfg: wn.WaveNetConfig,
@@ -64,14 +94,12 @@ def generate(
     # fused categorical needs the on-chip PRNG (TPU only)
     fused_ok = sample_mode == "argmax" or (sample_mode == "categorical" and on_tpu)
     if backend == "fused" and fused_ok and prime.shape[1] >= prime_len:
-        from music_tpu.kernels.wavenet_decode import generate_tokens_fused
-
-        codes = generate_tokens_fused(
-            params, prime, cfg=cfg, n_steps=n_steps,
-            interpret=not on_tpu,
-            sample_mode=sample_mode, temperature=temperature, seed=seed,
+        codes = _fused_decode(
+            params, prime, cfg, n_steps, on_tpu, sample_mode, temperature, seed
         )
-    else:
+        if codes is None:  # no fused kernel fits this config -> scan path
+            backend = "scan"
+    if backend != "fused" or not fused_ok or prime.shape[1] < prime_len:
         codes = wn.generate_tokens(
             params,
             prime,

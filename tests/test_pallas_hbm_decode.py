@@ -95,3 +95,17 @@ def test_hbm_decode_bf16_16_stream_interpret():
     )
     assert out.shape == (3, 20)
     assert (out >= 0).all() and (out < 32).all()
+
+
+def test_generate_autoselects_hbm_kernel(tmp_path):
+    """The public generate() routes wide-group configs (which the resident
+    kernel rejects) through the HBM-streaming kernel automatically."""
+    from music_tpu.generate.wavenet_generate import generate
+
+    params = wn.init_params(jax.random.PRNGKey(11), WIDE)
+    audio = generate(
+        cfg=WIDE, params=params, out_path=tmp_path / "wide.wav",
+        duration=40 / 16000,
+    )
+    assert (tmp_path / "wide.wav").exists()
+    assert audio.shape == (40,)
