@@ -94,12 +94,77 @@ def _seq_sharded_encode(params, inputs, cfg: ae.WaveNetAEConfig, sp: int):
     return jax.lax.all_gather(frames, "seq", axis=1, tiled=True)
 
 
+def _seq_sharded_decode_loss(params, inputs, targets, encoding, cfg, sp):
+    """Sequence-parallel decoder + loss: same margin/halo scheme as
+    :func:`_seq_sharded_encode` (each shard owns w output positions; halos
+    via ppermute, shard 0 fed from the replicated receptive-field margin),
+    with the conditioning upsample indexed by each position's coordinate in
+    the GLOBAL layer buffer — reproducing the unsharded
+    ``_upsample_cond(encoding, fg.shape[1])`` semantics exactly.  The skip
+    pathway keeps its ``model``-axis split (every local position is a final
+    output position, so all local skip taps contribute)."""
+    from music_tpu.parallel.halo import left_halo_exchange
+
+    Cd = cfg.de_dilation_channel
+    M = sum(cfg.dilations)
+    Ti = inputs.shape[1]
+    O = Ti - 1 - M  # output width
+    w = O // sp
+    F = encoding.shape[1]
+    s = jax.lax.axis_index("seq")
+
+    local_toks = jax.lax.dynamic_slice_in_dim(inputs, M + s * w, w + 1, axis=1)
+    x = token_causal_conv(local_toks, params["de_causal"])          # [B, w, Cr]
+    margin = token_causal_conv(inputs[:, : M + 1], params["de_causal"])
+
+    def cond(start, length, proj):
+        """Conditioning rows for global-buffer positions [start, start+len)
+        of a buffer of total length ``buf_len`` (closure arg below)."""
+        idx = ((start + jnp.arange(length)) * F) // cond.buf_len
+        return conv1x1(jnp.take(encoding, idx, axis=1), proj)
+
+    remaining = M
+    skip_total = None
+    for i, d in enumerate(cfg.dilations):
+        remaining -= d
+        buf_len = remaining + O  # global length of this layer's output
+        cond.buf_len = buf_len
+
+        fill = margin[:, -d:, :]
+        x_ext = left_halo_exchange(x, d, "seq", first_shard_fill=fill)
+        fg = dilated_causal_conv(x_ext, params["fg"][i], dilation=d)  # [B, w, 2Cd]
+        fg = fg + cond(remaining + s * w, w, params["cond_fg"][i])
+        z = jnp.tanh(fg[..., Cd:]) * jax.nn.sigmoid(fg[..., :Cd])
+        x = conv1x1(z, params["dense"][i]) + x
+        skip = conv1x1(z, params["skip"][i])                         # [B, w, Cs/m]
+        skip_total = skip if skip_total is None else skip_total + skip
+
+        if remaining > 0:
+            mfg = dilated_causal_conv(margin, params["fg"][i], dilation=d)
+            mfg = mfg + cond(0, remaining, params["cond_fg"][i])
+            mz = jnp.tanh(mfg[..., Cd:]) * jax.nn.sigmoid(mfg[..., :Cd])
+            margin = conv1x1(mz, params["dense"][i]) + margin[:, d:, :]
+
+    h = jax.nn.relu(skip_total)
+    h = jax.lax.psum(conv1x1(h, params["conn1"]), "model")  # row-parallel
+    cond.buf_len = O
+    h = h + cond(s * w, w, params["cond_post"])
+    h = jax.nn.relu(h)
+    logits = conv1x1(h, params["conn2"])
+
+    targets_local = jax.lax.dynamic_slice_in_dim(targets, s * w, w, axis=1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets_local[..., None], axis=-1)
+    # equal-size shards: mean of local means over (data, seq) = global mean
+    return jax.lax.pmean(jnp.mean(nll), ("data", "seq"))
+
+
 def _sharded_ae_loss(params, tokens, cfg: ae.WaveNetAEConfig, sp: int = 1):
     """Local loss inside shard_map: batch over ``data``, skip pathway over
-    ``model``, and — when the window divides evenly — the ENCODER's time
-    axis over ``seq`` with per-layer halo exchange
-    (:func:`_seq_sharded_encode`); the decoder replicates over ``seq``.
-    Falls back to a seq-replicated encoder when shapes don't divide."""
+    ``model``, and — when the window divides evenly — the time axis of BOTH
+    the encoder and the decoder over ``seq`` with per-layer halo exchange
+    (:func:`_seq_sharded_encode` / :func:`_seq_sharded_decode_loss`).
+    Falls back to the seq-replicated computation when shapes don't divide."""
     Cd = cfg.de_dilation_channel
     inputs = tokens[:, :-1]
     targets = tokens[:, cfg.receptive_field:]
@@ -112,6 +177,7 @@ def _sharded_ae_loss(params, tokens, cfg: ae.WaveNetAEConfig, sp: int = 1):
     used_seq = sp > 1 and E % sp == 0 and (E // sp) % k == 0
     if used_seq:
         encoding = _seq_sharded_encode(params, inputs, cfg, sp)
+        return _seq_sharded_decode_loss(params, inputs, targets, encoding, cfg, sp)
     else:
         encoding = ae.encode(params, inputs, cfg)
 
@@ -135,11 +201,8 @@ def _sharded_ae_loss(params, tokens, cfg: ae.WaveNetAEConfig, sp: int = 1):
 
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
-    # after the seq-sharded encoder the value is seq-varying (numerically
-    # equal across shards); the seq pmean marks it replicated again.  On the
-    # fallback path it is already seq-invarying and must not be re-reduced.
-    axes = ("data", "seq") if used_seq else ("data",)
-    return jax.lax.pmean(jnp.mean(nll), axes)
+    # fallback path: seq-replicated computation, only data needs the mean
+    return jax.lax.pmean(jnp.mean(nll), "data")
 
 
 def make_loss_fn(cfg: ae.WaveNetAEConfig, mesh: Mesh):
