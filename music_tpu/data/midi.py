@@ -101,12 +101,26 @@ def read_midi(path: str | Path) -> dict:
 
 
 def midi_to_song_data(
-    path: str | Path, output_ticks_per_quarter_note: int = 384
+    path: str | Path, output_ticks_per_quarter_note: int = 384,
+    use_native: bool = True,
 ) -> list[list[float]]:
     """MIDI file -> sorted note-event list, reference semantics
     (c-rnn-gan/data.py:100-143): note_on opens an event, matching note_off
     (or velocity-0 note_on) closes it; ticks normalized to the output
-    resolution; never-closed events get a quarter-note length."""
+    resolution; never-closed events get a quarter-note length.
+
+    The hot byte-walking loop runs in C++ when the native data-path library
+    is built (native/datapath.cc parse_smf_events — exactness vs this
+    Python path is tested in tests/test_native.py); any file the native
+    parser declines falls through to the Python parser below."""
+    if use_native:
+        from music_tpu import native
+
+        events = native.parse_smf_events(
+            Path(path).read_bytes(), output_ticks_per_quarter_note
+        )
+        if events is not None:
+            return [list(row) for row in events]
     mid = read_midi(path)
     scale = mid["ticks_per_beat"] / output_ticks_per_quarter_note
     song = []

@@ -49,7 +49,7 @@ def _load():
             return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
-        if lib.datapath_abi_version() != 1:
+        if lib.datapath_abi_version() != 2:
             return None
         lib.mulaw_encode.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
@@ -65,6 +65,11 @@ def _load():
         lib.pcm16_to_float.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ]
+        lib.parse_smf_events.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ]
+        lib.parse_smf_events.restype = ctypes.c_int64
         _lib = lib
     except OSError:
         _lib = None
@@ -130,3 +135,25 @@ def pcm16_to_float(pcm: np.ndarray) -> np.ndarray:
         lib.pcm16_to_float(_ptr(pcm, ctypes.c_int16), _ptr(out, ctypes.c_float), pcm.size)
         return out
     return pcm.astype(np.float32) / 32768.0
+
+
+def parse_smf_events(raw: bytes, output_ticks_per_quarter_note: int) -> np.ndarray | None:
+    """Extract ``[N, 4]`` float64 note events (begin_tick, length, freq,
+    velocity) from raw SMF bytes via the C++ parser — the hot loop of the
+    MIDI corpus pipeline (data/midi.midi_to_song_data).  Returns ``None``
+    when the native library is unavailable or declines the file (structural
+    error / SMPTE division); the caller then runs the pure-Python parser,
+    which raises precise exceptions."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(raw, np.uint8)
+    cap = max(len(raw), 16)
+    out = np.empty((cap, 4), np.float64)
+    n = lib.parse_smf_events(
+        _ptr(buf, ctypes.c_uint8), len(raw), output_ticks_per_quarter_note,
+        _ptr(out, ctypes.c_double), cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].copy()

@@ -23,6 +23,7 @@ from music_tpu.core.metrics import Meter, MetricsLogger, Throughput
 from music_tpu.core.optim import from_config as optimizer_from_config
 from music_tpu.core.prng import KeySeq
 from music_tpu.data.audio import AudioWindows
+from music_tpu.data.prefetch import PrefetchBatches
 from music_tpu.models import wavenet_ae as ae
 from music_tpu.models.wavenet_ae import _upsample_cond
 from music_tpu.ops.conv import conv1x1, dilated_causal_conv, token_causal_conv
@@ -273,9 +274,9 @@ def train(
     print_every = train_params.get("print_every", 100)
     step = start_step
     for epoch in range(train_params.get("num_epochs", 1)):
-        for batch in windows.batches(
+        for batch in PrefetchBatches(windows.batches(
             dataset_params["batch_size"], seed=train_params.get("seed", 0) + epoch
-        ):
+        )):
             tokens = jax.device_put(batch, sharding)
             state, loss = train_step(state, tokens)
             step += 1

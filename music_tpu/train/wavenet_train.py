@@ -39,6 +39,7 @@ from music_tpu.core.metrics import Meter, MetricsLogger, Throughput
 from music_tpu.core.optim import from_config as optimizer_from_config
 from music_tpu.core.prng import KeySeq
 from music_tpu.data.audio import AudioWindows
+from music_tpu.data.prefetch import PrefetchBatches
 from music_tpu.models import wavenet as wn
 from music_tpu.models.wavenet import WaveNetConfig
 from music_tpu.ops.conv import conv1x1, dilated_causal_conv, token_causal_conv
@@ -241,9 +242,9 @@ def train(
     for epoch in range(train_params.get("num_epochs", 1)):
         # every process iterates the same (seeded) global batch order and
         # contributes only its host_shard rows inside put_global_batch
-        for batch in windows.batches(
+        for batch in PrefetchBatches(windows.batches(
             dataset_params["batch_size"], seed=train_params.get("seed", 0) + epoch
-        ):
+        )):
             tokens = multihost.put_global_batch(mesh, batch)
             state, loss = train_step(state, tokens)
             step += 1

@@ -46,3 +46,60 @@ def test_pcm_roundtrip():
     back = native.pcm16_to_float(pcm)
     # quantization 1/32767 + scale skew 32767/32768
     assert np.max(np.abs(back - audio)) < 1.5 / 16000
+
+
+def test_prefetch_batches_order_and_exceptions():
+    from music_tpu.data.prefetch import PrefetchBatches
+
+    assert list(PrefetchBatches(range(100), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("producer failed")
+
+    it = PrefetchBatches(boom())
+    assert next(it) == 1 and next(it) == 2
+    try:
+        next(it)
+        assert False, "expected RuntimeError"
+    except RuntimeError as e:
+        assert "producer failed" in str(e)
+    it2 = PrefetchBatches(range(1000), depth=2)
+    assert next(it2) == 0
+    it2.close()  # early exit doesn't hang
+
+
+def test_native_smf_parser_matches_python(tmp_path):
+    """The C++ SMF event extractor must reproduce the Python parser exactly
+    (ticks exact, freqs to float precision) on real multi-note files."""
+    import numpy as np
+
+    from music_tpu import native
+    from music_tpu.data import midi
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(0)
+    n = 60
+    events = np.zeros((n, 4), np.float64)
+    events[:, 0] = rng.integers(0, 200, n)            # delta ticks
+    events[:, 1] = rng.integers(10, 500, n)           # lengths
+    events[:, 2] = [midi.tone_to_freq(int(t)) for t in rng.integers(40, 90, n)]
+    events[:, 3] = rng.integers(1, 127, n)            # velocities
+    path = tmp_path / "t.mid"
+    midi.events_to_midi(events, path, ticks_per_quarter_note=480)
+
+    ref = midi.midi_to_song_data(path, 384, use_native=False)
+    nat = midi.midi_to_song_data(path, 384, use_native=True)
+    got = native.parse_smf_events(path.read_bytes(), 384)
+    assert got is not None, "native parser declined a valid file"
+    np.testing.assert_allclose(
+        np.asarray(nat, np.float64), np.asarray(ref, np.float64), rtol=1e-12
+    )
+
+    # structural garbage -> native declines, python raises
+    assert native.parse_smf_events(b"not a midi file....", 384) is None
