@@ -235,7 +235,9 @@ def discriminator_loss(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("g_cfg", "d_cfg", "rollout_num"))
+@functools.partial(
+    jax.jit, static_argnames=("g_cfg", "d_cfg", "rollout_num", "pos_prob_fn")
+)
 def rollout_rewards(
     g_params: dict,
     d_params: dict,
@@ -245,6 +247,7 @@ def rollout_rewards(
     g_cfg: GeneratorConfig,
     d_cfg: DiscriminatorConfig,
     rollout_num: int = 16,
+    pos_prob_fn=None,
 ) -> jax.Array:
     """MC rewards [B, T]: for prefix length t in [1, T), the mean D-score of
     ``rollout_num`` free-running completions; position T-1 scored on the
@@ -299,9 +302,12 @@ def rollout_rewards(
         [sample_rep[:, :1], jnp.swapaxes(toks, 0, 1)], axis=1
     )  # [N, T]
 
-    probs = discriminator_pos_prob(d_params, completions, d_cfg)  # [N]
+    # pluggable scorer: the model-parallel trainer passes the TP forward
+    # (parallel/gan_tp.py) so sharded D params score the completions
+    score = pos_prob_fn or (lambda p, t: discriminator_pos_prob(p, t, d_cfg))
+    probs = score(d_params, completions)  # [N]
     rewards_mc = probs.reshape(R, n_prefix, B).mean(axis=0)  # [n_prefix, B]
-    final = discriminator_pos_prob(d_params, samples, d_cfg)  # [B]
+    final = score(d_params, samples)  # [B]
     return jnp.concatenate([rewards_mc.T, final[:, None]], axis=1)  # [B, T]
 
 

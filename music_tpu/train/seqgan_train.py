@@ -87,7 +87,9 @@ class SeqGanTrainer:
             )
 
         def shardify(body, in_specs, out_specs):
-            if axis is None:
+            if mesh is None or (axis is None and not (
+                mesh.shape.get("model", 1) > 1
+            )):
                 return body
             return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
@@ -98,16 +100,97 @@ class SeqGanTrainer:
         self.g_params = sg.init_generator(self.keys.next(), cfg.g)
         self.d_params = sg.init_discriminator(self.keys.next(), cfg.d)
 
+        # model-axis split of the 1720-filter discriminator
+        # (parallel/gan_tp.py): D params/opt shard over ``model``; the D
+        # phases and rollout scoring run the TP forward
+        self.tp = mesh is not None and mesh.shape.get("model", 1) > 1
+        if self.tp:
+            from music_tpu.parallel import gan_tp
+
+            d_specs = gan_tp.discriminator_specs(cfg.d)
+            self.d_params = jax.tree_util.tree_map(
+                lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+                self.d_params, d_specs,
+            )
+        else:
+            gan_tp = None
+            d_specs = P()
+
         self.g_tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip), optax.adam(cfg.g_lr)
         )
-        self.d_tx = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip), optax.adam(cfg.d_lr)
+        # with tp, the global-norm clip is applied manually (vma-aware —
+        # see clip_d_grads below); the chained optax clip would compute a
+        # per-shard norm over the model-sharded leaves
+        self.d_tx = (
+            optax.adam(cfg.d_lr)
+            if self.tp
+            else optax.chain(
+                optax.clip_by_global_norm(cfg.grad_clip), optax.adam(cfg.d_lr)
+            )
         )
         self.g_opt = self.g_tx.init(self.g_params)
         self.d_opt = self.d_tx.init(self.d_params)
+        if self.tp:
+            # optimizer moments mirror the param tree exactly: substitute
+            # the param specs for every param-shaped subtree of the state
+            # (adam's mu/nu), replicate everything else (count, clip state)
+            pdef = jax.tree_util.tree_structure(self.d_params)
+
+            def _is_param_tree(x):
+                return jax.tree_util.tree_structure(x) == pdef
+
+            d_opt_specs = jax.tree_util.tree_map(
+                lambda x: d_specs if _is_param_tree(x) else P(),
+                self.d_opt, is_leaf=_is_param_tree,
+            )
+        else:
+            d_opt_specs = P()
 
         g_cfg, d_cfg = cfg.g, cfg.d
+
+        if self.tp:
+            def d_loss_fn(p, toks, labs, k):
+                return gan_tp.seqgan_dis_loss_tp(p, toks, labs, d_cfg, k)
+
+            def d_pos_prob(p, toks):
+                out = gan_tp.discriminator_forward_tp(p, toks, d_cfg)
+                return jax.nn.softmax(out["score"], axis=-1)[:, 1]
+
+            def _spec_has_model(sp):
+                return any(
+                    e == "model" or (isinstance(e, tuple) and "model" in e)
+                    for e in sp
+                )
+
+            def clip_d_grads(grads):
+                """clip_by_global_norm with model-sharded leaves: the norm
+                must sum squared grads over the FULL tensors (psum the
+                sharded leaves' contributions over ``model``) and the
+                resulting scale is then replication-safe — optax's chained
+                clip would compute a per-shard norm and make replicated
+                leaves model-varying, breaking both semantics and the scan
+                carry types.  (Grads themselves need no manual psum: the
+                shard_map transpose already completes replicated-leaf
+                cotangents.)"""
+                sq = 0.0
+                for g, sp in zip(
+                    jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(
+                        d_specs, is_leaf=lambda x: isinstance(x, P)
+                    ),
+                ):
+                    ss = jnp.sum(jnp.square(g))
+                    sq = sq + (jax.lax.psum(ss, "model") if _spec_has_model(sp) else ss)
+                norm = jnp.sqrt(sq)
+                scale = jnp.where(norm < cfg.grad_clip, 1.0, cfg.grad_clip / norm)
+                return jax.tree_util.tree_map(lambda g: g * scale, grads)
+        else:
+            def d_loss_fn(p, toks, labs, k):
+                return sg.discriminator_loss(p, toks, labs, d_cfg, k)
+
+            d_pos_prob = None
+            clip_d_grads = None
 
         @jax.jit
         def mle_step(params, opt_state, tokens):
@@ -152,20 +235,13 @@ class SeqGanTrainer:
             )
             return body(params, opt_state, positive, key)
 
-        @jax.jit
-        def d_step(params, opt_state, tokens, labels, key):
-            loss, grads = jax.value_and_grad(sg.discriminator_loss)(
-                params, tokens, labels, d_cfg, key
-            )
-            updates, opt_state = self.d_tx.update(grads, opt_state)
-            return optax.apply_updates(params, updates), opt_state, loss
-
         def pg_step_impl(g_params, opt_state, d_params, key):
             k1, k2 = jax.random.split(localize(key))
             samples = sg.generate(g_params, k1, g_cfg, cfg.batch_size)
             rewards = sg.rollout_rewards(
                 g_params, d_params, samples, k2,
                 g_cfg=g_cfg, d_cfg=d_cfg, rollout_num=cfg.rollout_num,
+                pos_prob_fn=d_pos_prob,
             )
             loss, grads = jax.value_and_grad(sg.pg_loss)(
                 g_params, samples, rewards, g_cfg
@@ -178,7 +254,7 @@ class SeqGanTrainer:
         def pg_step(g_params, opt_state, d_params, key):
             body = shardify(
                 pg_step_impl,
-                in_specs=(P(), P(), P(), P()),
+                in_specs=(P(), P(), d_specs, P()),
                 out_specs=(P(), P(), P(), P("data", None)),
             )
             return body(g_params, opt_state, d_params, key)
@@ -202,10 +278,12 @@ class SeqGanTrainer:
             def one_batch(carry, inp):
                 d_params, d_opt = carry
                 tokens_b, labels_b, key_b = inp
-                loss, grads = jax.value_and_grad(sg.discriminator_loss)(
-                    d_params, tokens_b, labels_b, d_cfg, key_b
+                loss, grads = jax.value_and_grad(d_loss_fn)(
+                    d_params, tokens_b, labels_b, key_b
                 )
                 loss, grads = pmean((loss, grads))
+                if clip_d_grads is not None:
+                    grads = clip_d_grads(grads)
                 updates, d_opt = self.d_tx.update(grads, d_opt)
                 return (optax.apply_updates(d_params, updates), d_opt), loss
 
@@ -245,14 +323,13 @@ class SeqGanTrainer:
         def d_phase(d_params, d_opt, g_params, positive, key, *, d_steps, d_epochs):
             body = shardify(
                 functools.partial(d_phase_impl, d_steps=d_steps, d_epochs=d_epochs),
-                in_specs=(P(), P(), P(), P("data", None), P()),
-                out_specs=(P(), P(), P()),
+                in_specs=(d_specs, d_opt_specs, P(), P("data", None), P()),
+                out_specs=(d_specs, d_opt_specs, P()),
             )
             return body(d_params, d_opt, g_params, positive, key)
 
         self._mle_step = mle_step
         self._mle_phase = mle_phase
-        self._d_step = d_step
         self._pg_step = pg_step
         self._oracle_nll = oracle_nll
         self._d_phase = d_phase

@@ -110,3 +110,40 @@ def test_data_parallel_trainer_matches_semantics():
     tr.train_discriminator(positive, d_steps=1, epochs=1)
     g_loss, d_loss = tr.adversarial_epoch(positive, g_steps=1, d_steps=1, d_epochs=1)
     assert np.isfinite(g_loss) and np.isfinite(d_loss)
+
+
+def test_dp_tp_trainer_matches_dp_only():
+    """A dp x model mesh shards the discriminator (parallel/gan_tp.py)
+    through every phase — same seeds must reproduce the dp-only trainer's
+    losses to float tolerance (the TP forward is numerically equivalent)."""
+    from music_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    cfg = SeqGanConfig(g=G, d=D, batch_size=8, generated_num=32, rollout_num=2)
+    mesh_dp = make_mesh(MeshSpec(data=2, seq=1, model=1), devices=jax.devices()[:2])
+    mesh_tp = make_mesh(MeshSpec(data=2, seq=1, model=2), devices=jax.devices()[:4])
+
+    tr_dp = SeqGanTrainer(cfg, seed=0, mesh=mesh_dp)
+    tr_tp = SeqGanTrainer(cfg, seed=0, mesh=mesh_tp)
+    assert tr_tp.tp and not tr_dp.tp
+
+    positive = tr_dp.oracle_samples(cfg.generated_num)
+    # advance tr_tp's key stream identically (same seed -> same samples)
+    np.testing.assert_array_equal(
+        tr_tp.oracle_samples(cfg.generated_num), positive
+    )
+    l_dp = tr_dp.pretrain_generator(positive, epochs=2)
+    l_tp = tr_tp.pretrain_generator(positive, epochs=2)
+    np.testing.assert_allclose(l_tp, l_dp, rtol=1e-5)
+
+    d_dp = tr_dp.train_discriminator(positive, d_steps=1, epochs=2)
+    d_tp = tr_tp.train_discriminator(positive, d_steps=1, epochs=2)
+    np.testing.assert_allclose(d_tp, d_dp, rtol=1e-3)
+
+    g_dp, dd_dp = tr_dp.adversarial_epoch(positive, g_steps=1, d_steps=1, d_epochs=1)
+    g_tp, dd_tp = tr_tp.adversarial_epoch(positive, g_steps=1, d_steps=1, d_epochs=1)
+    np.testing.assert_allclose(g_tp, g_dp, rtol=1e-3)
+    np.testing.assert_allclose(dd_tp, dd_dp, rtol=1e-3)
+
+    # the TP trainer's D params actually live sharded over `model`
+    leaf = tr_tp.d_params["out"]["w"]
+    assert "model" in str(leaf.sharding.spec)
