@@ -296,6 +296,7 @@ def _engine_scan(
     temperature: float = 1.0,
     dropout_key: jax.Array | None = None,
     goal_init_rows=None,
+    d_forward=None,
 ):
     """The unified recurrent engine (covers 'pre'/'adv'/'rollout'/'gen').
 
@@ -309,7 +310,12 @@ def _engine_scan(
     - ``real_prefix``: 'pre' mode — the D prefix comes from this data
       regardless of sampled tokens (utils.py:70-79), while the worker
       free-runs on its own samples (the reference's actual behavior).
+    - ``d_forward``: discriminator forward override — the model-parallel
+      trainer passes the TP split (parallel/gan_tp.leakgan_forward_tp) so
+      the in-scan feature leaks run on model-sharded D params.
     """
+    if d_forward is None:
+        d_forward = discriminator_forward
     state = _init_gen_state(g_params, batch, cfg, goal_init_rows)
     # shard_map device-variance workaround (see models/seqgan.py:generate):
     # scan carries must share the scanned keys' data-axis-varying status, so
@@ -339,9 +345,7 @@ def _engine_scan(
         if real_prefix is not None:
             # teacher D-prefix: real data tokens < t, pad elsewhere
             prefix = jnp.where(pos[None, :] < t, real_prefix, cfg.pad_token)
-        f_t = discriminator_forward(
-            d_params, prefix, cfg, dropout_key=dk
-        )["feature"]
+        f_t = d_forward(d_params, prefix, cfg, dropout_key=dk)["feature"]
         sampled, probs, sub_goal, state2 = generator_step(
             g_params, x_t, f_t, state, cfg, key_t, temperature
         )
@@ -381,8 +385,8 @@ def _engine_scan(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def pre_engine(g_params, d_params, real_data, key, *, cfg: LeakGanConfig, dropout_key=None):
+@functools.partial(jax.jit, static_argnames=("cfg", "d_forward"))
+def pre_engine(g_params, d_params, real_data, key, *, cfg: LeakGanConfig, dropout_key=None, d_forward=None):
     """'pre' (utils.py:38-130): teacher D-prefixes from real data; returns
     real_goal [B, n_goals, G], prediction [B, T, V], delta_feature
     [B, n_goals, G]."""
@@ -392,6 +396,7 @@ def pre_engine(g_params, d_params, real_data, key, *, cfg: LeakGanConfig, dropou
         n_steps=cfg.seq_len + 1,
         real_prefix=real_data,
         dropout_key=dropout_key,
+        d_forward=d_forward,
     )
     return _pre_adv_post(outs, cfg)
 
@@ -408,9 +413,9 @@ def _pre_adv_post(outs, cfg: LeakGanConfig):
     return {"real_goal": real_goal, "prediction": prediction, "delta_feature": delta}
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "batch", "temperature"))
+@functools.partial(jax.jit, static_argnames=("cfg", "batch", "temperature", "d_forward"))
 def adv_engine(g_params, d_params, key, batch: int, *, cfg: LeakGanConfig,
-               temperature: float = 1.0, dropout_key=None):
+               temperature: float = 1.0, dropout_key=None, d_forward=None):
     """'adv' (utils.py:132-244): free-running; additionally returns
     all_goal [B, T, G], delta_feature_for_worker [B, T, G], gen_token [B, T]."""
     tokens, outs = _engine_scan(
@@ -418,6 +423,7 @@ def adv_engine(g_params, d_params, key, batch: int, *, cfg: LeakGanConfig,
         n_steps=cfg.seq_len + 1,
         temperature=temperature,
         dropout_key=dropout_key,
+        d_forward=d_forward,
     )
     rets = _pre_adv_post(outs, cfg)
     feats = outs["feature"]  # [T+1, B, G]
@@ -434,13 +440,13 @@ def adv_engine(g_params, d_params, key, batch: int, *, cfg: LeakGanConfig,
     return rets
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "batch", "temperature"))
+@functools.partial(jax.jit, static_argnames=("cfg", "batch", "temperature", "d_forward"))
 def gen_samples(g_params, d_params, key, batch: int, *, cfg: LeakGanConfig,
-                temperature: float = 1.0):
+                temperature: float = 1.0, d_forward=None):
     """'gen' (utils.py:375-414): pure sampling of [batch, seq_len] tokens."""
     tokens, _ = _engine_scan(
         g_params, d_params, cfg, key, batch, n_steps=cfg.seq_len,
-        temperature=temperature,
+        temperature=temperature, d_forward=d_forward,
     )
     return tokens
 
@@ -472,12 +478,13 @@ def rescale_rewards(sums, *, delta: float = 16.0, axis_name: str | None = None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "rollout_num", "temperature", "axis_name")
+    jax.jit,
+    static_argnames=("cfg", "rollout_num", "temperature", "axis_name", "d_forward"),
 )
 def get_rewards(
     g_params, d_params, input_x, key, *, cfg: LeakGanConfig,
     rollout_num: int = 4, temperature: float = 1.0, delta: float = 16.0,
-    axis_name: str | None = None,
+    axis_name: str | None = None, d_forward=None,
 ):
     """Rollout rewards [B, n_goals] (utils.py:419-459): for each restore
     point given_num = 0, k, 2k, ..., regenerate completions rollout_num
@@ -507,8 +514,11 @@ def get_rewards(
         teacher_until=given,
         temperature=temperature,
         goal_init_rows=gi,
+        d_forward=d_forward,
     )
-    pred = discriminator_forward(d_params, completions, cfg)["pred"][:, 1]  # [N]
+    if d_forward is None:
+        d_forward = discriminator_forward
+    pred = d_forward(d_params, completions, cfg)["pred"][:, 1]  # [N]
     sums = pred.reshape(R, n, B).sum(axis=0)  # [n, B]
     # rank-based rescale per restore point, over the global batch under dp
     rescaled = rescale_rewards(sums, delta=delta, axis_name=axis_name)

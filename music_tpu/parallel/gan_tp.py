@@ -138,3 +138,14 @@ def seqgan_dis_loss_tp(d_params, tokens, labels, cfg, dropout_key=None,
     )
     logp = jax.nn.log_softmax(out["score"], axis=-1)
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def leakgan_forward_tp(d_params, tokens, cfg, *, dropout_key=None,
+                       axis_name: str = "model"):
+    """LeakGAN-contract TP forward (post-highway leaked feature, softmax
+    pred) with the engine call signature — pass as the engines'
+    ``d_forward`` so the in-scan feature leaks run model-parallel."""
+    return discriminator_forward_tp(
+        d_params, tokens, cfg, axis_name=axis_name, dropout_key=dropout_key,
+        post_highway_feature=True, softmax_pred=True,
+    )

@@ -67,6 +67,25 @@ class LeakGanTrainer:
         self.keys = KeySeq(seed)
         self.g_params = lg.init_generator(self.keys.next(), cfg, tc.batch_size)
         self.d_params = lg.init_discriminator(self.keys.next(), cfg)
+
+        # model-axis split of the 1720-filter leaked-feature discriminator
+        # (parallel/gan_tp.py): D params/opt shard over ``model``; every
+        # engine pass (feature leaks included) runs the TP forward
+        self.tp = mesh is not None and mesh.shape.get("model", 1) > 1
+        if self.tp:
+            from jax.sharding import NamedSharding
+
+            from music_tpu.parallel import gan_tp
+
+            self._gan_tp = gan_tp
+            self._d_specs = gan_tp.discriminator_specs(cfg)
+            self.d_params = jax.tree_util.tree_map(
+                lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+                self.d_params, self._d_specs,
+            )
+        else:
+            self._gan_tp = None
+            self._d_specs = P()
         # oracle for the NLL metric (leak_gan/target.py protocol): a
         # randomly-initialized LSTM LM over the same vocab
         self.oracle_cfg = sg.GeneratorConfig(
@@ -82,15 +101,75 @@ class LeakGanTrainer:
                 optax.adam(step_lr(lr, tc.decay_step_size, tc.decay_rate)),
             )
 
-        self.m_tx, self.w_tx, self.d_tx = tx(tc.m_lr), tx(tc.w_lr), tx(tc.d_lr)
+        self.m_tx, self.w_tx = tx(tc.m_lr), tx(tc.w_lr)
+        # with tp the global-norm clip is applied manually (vma-aware);
+        # optax's chained clip would compute a per-shard norm over the
+        # model-sharded D leaves
+        self.d_tx = (
+            optax.adam(step_lr(tc.d_lr, tc.decay_step_size, tc.decay_rate))
+            if self.tp else tx(tc.d_lr)
+        )
         self.m_opt = self.m_tx.init(self.g_params["manager"])
         self.w_opt = self.w_tx.init(self.g_params["worker"])
         self.d_opt = self.d_tx.init(self.d_params)
+        if self.tp:
+            pdef = jax.tree_util.tree_structure(self.d_params)
+
+            def _is_param_tree(x):
+                return jax.tree_util.tree_structure(x) == pdef
+
+            self._d_opt_specs = jax.tree_util.tree_map(
+                lambda x: self._d_specs if _is_param_tree(x) else P(),
+                self.d_opt, is_leaf=_is_param_tree,
+            )
+        else:
+            self._d_opt_specs = P()
         self._build_steps()
 
     def _build_steps(self):
         cfg = self.tc.cfg
         axis, mesh = self.axis, self.mesh
+        d_specs, d_opt_specs = self._d_specs, self._d_opt_specs
+        if self.tp:
+            gan_tp = self._gan_tp
+            d_forward = gan_tp.leakgan_forward_tp
+
+            def dis_loss_fn(p, toks, labs, k):
+                return gan_tp.leakgan_dis_loss_tp(p, toks, labs, cfg, k)
+
+            def _spec_has_model(sp):
+                return any(
+                    e == "model" or (isinstance(e, tuple) and "model" in e)
+                    for e in sp
+                )
+
+            def clip_d_grads(grads):
+                """vma-aware global-norm clip (see seqgan_train for the
+                rationale): sharded leaves' squared sums psum over model
+                so the norm covers the full tensors and the scale is
+                replication-safe."""
+                sq = 0.0
+                for g, sp in zip(
+                    jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(
+                        d_specs, is_leaf=lambda x: isinstance(x, P)
+                    ),
+                ):
+                    ss = jnp.sum(jnp.square(g))
+                    sq = sq + (
+                        jax.lax.psum(ss, "model") if _spec_has_model(sp) else ss
+                    )
+                norm = jnp.sqrt(sq)
+                clip = self.tc.grad_clip
+                scale = jnp.where(norm < clip, 1.0, clip / norm)
+                return jax.tree_util.tree_map(lambda g: g * scale, grads)
+        else:
+            d_forward = None
+
+            def dis_loss_fn(p, toks, labs, k):
+                return lg.dis_loss(p, toks, labs, cfg, k)
+
+            clip_d_grads = None
 
         def pmean(tree):
             return jax.lax.pmean(tree, axis) if axis else tree
@@ -101,7 +180,7 @@ class LeakGanTrainer:
             )
 
         def shardify(body, in_specs, out_specs):
-            if axis is None:
+            if mesh is None or (axis is None and not self.tp):
                 return body
             return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
@@ -115,6 +194,7 @@ class LeakGanTrainer:
                 rets = lg.pre_engine(
                     {"manager": m_params, "worker": g_params["worker"]},
                     d_params, real_data, key, cfg=cfg, dropout_key=dkey,
+                    d_forward=d_forward,
                 )
                 return lg.pre_manager_loss(rets["real_goal"], rets["delta_feature"])
 
@@ -122,6 +202,7 @@ class LeakGanTrainer:
                 rets = lg.pre_engine(
                     {"manager": g_params["manager"], "worker": w_params},
                     d_params, real_data, key, cfg=cfg, dropout_key=dkey,
+                    d_forward=d_forward,
                 )
                 return lg.pre_worker_loss(real_data, rets["prediction"], cfg.vocab_size)
 
@@ -173,7 +254,7 @@ class LeakGanTrainer:
         def pre_phase(g_params, d_params, m_opt, w_opt, real_data, key, *, epochs):
             body = shardify(
                 functools.partial(pre_phase_impl, epochs=epochs),
-                in_specs=(P(), P(), P(), P(), P("data", None), P()),
+                in_specs=(P(), d_specs, P(), P(), P("data", None), P()),
                 out_specs=(P(), P(), P(), P(), P()),
             )
             return body(g_params, d_params, m_opt, w_opt, real_data, key)
@@ -204,6 +285,7 @@ class LeakGanTrainer:
                     lg.gen_samples(
                         g_params, d_params, jax.random.fold_in(k_gen, i), B,
                         cfg=cfg, temperature=cfg.temperature,
+                        d_forward=d_forward,
                     )
                 )
             negative = jnp.concatenate(negs)[:N]
@@ -215,10 +297,12 @@ class LeakGanTrainer:
             def one_batch(carry, inp):
                 d_params, d_opt = carry
                 toks_b, labs_b, key_b = inp
-                loss, grads = jax.value_and_grad(lg.dis_loss)(
-                    d_params, toks_b, labs_b, cfg, key_b
+                loss, grads = jax.value_and_grad(dis_loss_fn)(
+                    d_params, toks_b, labs_b, key_b
                 )
                 loss, grads = pmean((loss, grads))
+                if clip_d_grads is not None:
+                    grads = clip_d_grads(grads)
                 updates, d_opt = self.d_tx.update(grads, d_opt)
                 return (optax.apply_updates(d_params, updates), d_opt), loss
 
@@ -243,8 +327,8 @@ class LeakGanTrainer:
         def d_phase(d_params, d_opt, g_params, real_data, key, *, epochs):
             body = shardify(
                 functools.partial(d_phase_impl, epochs=epochs),
-                in_specs=(P(), P(), P(), P("data", None), P()),
-                out_specs=(P(), P(), P()),
+                in_specs=(d_specs, d_opt_specs, P(), P("data", None), P()),
+                out_specs=(d_specs, d_opt_specs, P()),
             )
             return body(d_params, d_opt, g_params, real_data, key)
 
@@ -257,11 +341,13 @@ class LeakGanTrainer:
                 rets = lg.adv_engine(
                     gp, d_params, k1, self.tc.batch_size, cfg=cfg,
                     temperature=cfg.temperature, dropout_key=dkey,
+                    d_forward=d_forward,
                 )
                 rewards = lg.get_rewards(
                     gp, d_params, rets["gen_token"], k2, cfg=cfg,
                     rollout_num=self.tc.rollout_num, temperature=cfg.temperature,
                     axis_name=axis,  # rank over the GLOBAL dp batch
+                    d_forward=d_forward,
                 )
                 ml = lg.adv_manager_loss(rewards, rets["real_goal"], rets["delta_feature"])
                 wl = lg.adv_worker_loss(
@@ -284,7 +370,7 @@ class LeakGanTrainer:
         def adv_step(g_params, d_params, m_opt, w_opt, key, dkey):
             body = shardify(
                 adv_step_impl,
-                in_specs=(P(), P(), P(), P(), P(), P()),
+                in_specs=(P(), d_specs, P(), P(), P(), P()),
                 out_specs=(P(), P(), P(), P(), P()),
             )
             return body(g_params, d_params, m_opt, w_opt, key, dkey)

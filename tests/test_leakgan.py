@@ -209,3 +209,36 @@ def test_data_parallel_trainer():
     assert np.isfinite(d_loss)
     aml, awl, adl = tr.adversarial_epoch(real, d_steps=1, d_epochs=1)
     assert np.isfinite(aml) and np.isfinite(awl) and np.isfinite(adl)
+
+
+def test_dp_tp_trainer_matches_dp_only():
+    """A dp x model mesh shards the leaked-feature discriminator through
+    every engine pass (parallel/gan_tp.leakgan_forward_tp) — same seeds
+    must reproduce the dp-only trainer's losses to float tolerance."""
+    from music_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    tc = LeakGanTrainConfig(cfg=CFG, batch_size=B, rollout_num=2, generated_num=8)
+    mesh_dp = make_mesh(MeshSpec(data=2, seq=1, model=1), devices=jax.devices()[:2])
+    mesh_tp = make_mesh(MeshSpec(data=2, seq=1, model=2), devices=jax.devices()[:4])
+    tr_dp = LeakGanTrainer(tc, seed=0, mesh=mesh_dp)
+    tr_tp = LeakGanTrainer(tc, seed=0, mesh=mesh_tp)
+    assert tr_tp.tp and not tr_dp.tp
+
+    real = np.random.default_rng(0).integers(1, 40, (16, 10)).astype(np.int64)
+    ml_dp, wl_dp = tr_dp.pretrain_generator(real, epochs=1)
+    ml_tp, wl_tp = tr_tp.pretrain_generator(real, epochs=1)
+    np.testing.assert_allclose(ml_tp, ml_dp, rtol=1e-4)
+    np.testing.assert_allclose(wl_tp, wl_dp, rtol=1e-4)
+
+    d_dp = tr_dp.pretrain_discriminator(real, epochs=1)
+    d_tp = tr_tp.pretrain_discriminator(real, epochs=1)
+    np.testing.assert_allclose(d_tp, d_dp, rtol=1e-3)
+
+    am_dp, aw_dp, ad_dp = tr_dp.adversarial_epoch(real, d_steps=1, d_epochs=1)
+    am_tp, aw_tp, ad_tp = tr_tp.adversarial_epoch(real, d_steps=1, d_epochs=1)
+    np.testing.assert_allclose(am_tp, am_dp, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(aw_tp, aw_dp, rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(ad_tp, ad_dp, rtol=1e-3)
+
+    # D params really live sharded over `model`
+    assert "model" in str(tr_tp.d_params["out"]["w"].sharding.spec)
