@@ -165,6 +165,16 @@ class CRnnGanTrainer:
         self._pre_step = pre_step
         self._gan_step = gan_step
 
+
+    def _put_batch(self, arr):
+        """Device-put with data-axis sharding; under multi-process each
+        host contributes only its own rows (parallel/multihost.py)."""
+        if self.mesh is not None:
+            from music_tpu.parallel import multihost
+
+            return multihost.put_global_batch(self.mesh, np.asarray(arr))
+        return jnp.asarray(arr)
+
     def _meta_rows(self, meta: np.ndarray | None, idx: np.ndarray) -> jnp.ndarray:
         if meta is None:
             return jnp.zeros((len(idx), self.tc.cfg.meta_dim), jnp.float32)
@@ -179,8 +189,8 @@ class CRnnGanTrainer:
             for i in range(0, len(data) - B + 1, B):
                 idx = order[i : i + B]
                 self.g_params, self.g_opt, loss = self._pre_step(
-                    self.g_params, self.g_opt, jnp.asarray(data[idx]),
-                    self._meta_rows(meta, idx), self.keys.next(),
+                    self.g_params, self.g_opt, self._put_batch(data[idx]),
+                    self._put_batch(self._meta_rows(meta, idx)), self.keys.next(),
                 )
                 last = float(loss)
         return last
@@ -194,7 +204,8 @@ class CRnnGanTrainer:
             (self.g_params, self.d_params, self.g_opt, self.d_opt,
              g_loss, d_loss, d_acc) = self._gan_step(
                 self.g_params, self.d_params, self.g_opt, self.d_opt,
-                jnp.asarray(data[idx]), self._meta_rows(meta, idx),
+                self._put_batch(data[idx]),
+                self._put_batch(self._meta_rows(meta, idx)),
                 self.keys.next(),
             )
             gl, dl, acc = float(g_loss), float(d_loss), float(d_acc)

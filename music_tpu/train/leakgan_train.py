@@ -392,6 +392,15 @@ class LeakGanTrainer:
 
     # ------------------------------------------------------------------
 
+    def _put_batch(self, arr):
+        """Device-put with data-axis sharding; under multi-process each
+        host contributes only its own rows (parallel/multihost.py)."""
+        if self.mesh is not None:
+            from music_tpu.parallel import multihost
+
+            return multihost.put_global_batch(self.mesh, np.asarray(arr))
+        return jnp.asarray(arr)
+
     def generate_samples(self, n: int, out_path: str | Path | None = None) -> np.ndarray:
         """Negative samples; .npy artifact parity (leak_gan/train.py:157-165)."""
         cfg = self.tc.cfg
@@ -418,8 +427,8 @@ class LeakGanTrainer:
             raise ValueError("real_data smaller than one batch")
         self.g_params, self.m_opt, self.w_opt, ml, wl = self._pre_phase(
             self.g_params, self.d_params, self.m_opt, self.w_opt,
-            jnp.asarray(real_data[:n], jnp.int32), self.keys.next(),
-            epochs=epochs,
+            self._put_batch(np.asarray(real_data[:n], np.int32)),
+            self.keys.next(), epochs=epochs,
         )
         return float(ml), float(wl)
 
@@ -430,8 +439,8 @@ class LeakGanTrainer:
             raise ValueError("real_data smaller than one batch")
         self.d_params, self.d_opt, loss = self._d_phase(
             self.d_params, self.d_opt, self.g_params,
-            jnp.asarray(real_data[:n], jnp.int32), self.keys.next(),
-            epochs=epochs,
+            self._put_batch(np.asarray(real_data[:n], np.int32)),
+            self.keys.next(), epochs=epochs,
         )
         return float(loss)
 

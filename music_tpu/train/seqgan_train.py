@@ -336,6 +336,15 @@ class SeqGanTrainer:
 
     # ----- phases ---------------------------------------------------------
 
+    def _put_batch(self, arr):
+        """Device-put with data-axis sharding; under multi-process each
+        host contributes only its own rows (parallel/multihost.py)."""
+        if self.mesh is not None:
+            from music_tpu.parallel import multihost
+
+            return multihost.put_global_batch(self.mesh, np.asarray(arr))
+        return jnp.asarray(arr)
+
     def oracle_samples(self, n: int) -> np.ndarray:
         """Positive data from the oracle (train.py:62-64)."""
         out = []
@@ -363,7 +372,8 @@ class SeqGanTrainer:
         if n == 0:
             raise ValueError("positive data smaller than one batch")
         self.g_params, self.g_opt, loss = self._mle_phase(
-            self.g_params, self.g_opt, jnp.asarray(positive[:n], jnp.int32),
+            self.g_params, self.g_opt,
+            self._put_batch(np.asarray(positive[:n], np.int32)),
             self.keys.next(), epochs=epochs,
         )
         return float(loss)
@@ -375,7 +385,7 @@ class SeqGanTrainer:
         whole phase is ONE device program (see d_phase)."""
         self.d_params, self.d_opt, loss = self._d_phase(
             self.d_params, self.d_opt, self.g_params,
-            jnp.asarray(positive, jnp.int32), self.keys.next(),
+            self._put_batch(np.asarray(positive, np.int32)), self.keys.next(),
             d_steps=d_steps, d_epochs=epochs,
         )
         return float(loss)

@@ -44,6 +44,22 @@ def main(pid: int, nproc: int, port: int) -> None:
     state, loss = step_fn(state, tokens)
     print(f"MHLOSS {float(loss):.8f}", flush=True)
 
+    # SeqGAN dp across hosts: the trainer's _put_batch feeds per-host rows
+    from music_tpu.models import seqgan as sg
+    from music_tpu.train.seqgan_train import SeqGanConfig, SeqGanTrainer
+
+    gcfg = sg.GeneratorConfig(vocab_size=30, emb_dim=8, hidden_dim=8, seq_len=8)
+    dcfg = sg.DiscriminatorConfig(
+        vocab_size=30, emb_dim=8, filter_sizes=(1, 2), num_filters=(8, 8), seq_len=8,
+    )
+    tr = SeqGanTrainer(
+        SeqGanConfig(g=gcfg, d=dcfg, batch_size=4, generated_num=8, rollout_num=2),
+        seed=0, mesh=mesh,
+    )
+    positive = tr.oracle_samples(8)
+    mle = tr.pretrain_generator(positive, epochs=2)
+    print(f"MHSEQGAN {mle:.8f}", flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))

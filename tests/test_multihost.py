@@ -23,8 +23,8 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_process_loss() -> float:
-    """Same step on a local 2-device data mesh (this process's virtual
+def _single_process_loss() -> tuple[float, float]:
+    """Same steps on a local 2-device data mesh (this process's virtual
     devices), same seeds — the ground truth the cluster must match."""
     from music_tpu.models import wavenet as wn
     from music_tpu.parallel.mesh import MeshSpec, make_mesh
@@ -44,7 +44,21 @@ def _single_process_loss() -> float:
     from music_tpu.parallel import multihost
 
     state, loss = step_fn(state, multihost.put_global_batch(mesh, batch))
-    return float(loss)
+
+    from music_tpu.models import seqgan as sg
+    from music_tpu.train.seqgan_train import SeqGanConfig, SeqGanTrainer
+
+    gcfg = sg.GeneratorConfig(vocab_size=30, emb_dim=8, hidden_dim=8, seq_len=8)
+    dcfg = sg.DiscriminatorConfig(
+        vocab_size=30, emb_dim=8, filter_sizes=(1, 2), num_filters=(8, 8), seq_len=8,
+    )
+    tr = SeqGanTrainer(
+        SeqGanConfig(g=gcfg, d=dcfg, batch_size=4, generated_num=8, rollout_num=2),
+        seed=0, mesh=mesh,
+    )
+    positive = tr.oracle_samples(8)
+    mle = tr.pretrain_generator(positive, epochs=2)
+    return float(loss), float(mle)
 
 
 def test_two_process_cluster_matches_single_process():
@@ -70,14 +84,18 @@ def test_two_process_cluster_matches_single_process():
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         outs.append(out)
 
-    losses = []
+    losses, mles = [], []
     for out in outs:
-        lines = [ln for ln in out.splitlines() if ln.startswith("MHLOSS ")]
-        assert lines, out
-        losses.append(float(lines[0].split()[1]))
+        wl = [ln for ln in out.splitlines() if ln.startswith("MHLOSS ")]
+        gl = [ln for ln in out.splitlines() if ln.startswith("MHSEQGAN ")]
+        assert wl and gl, out
+        losses.append(float(wl[0].split()[1]))
+        mles.append(float(gl[0].split()[1]))
 
-    # both hosts see the same (replicated) global loss
+    # both hosts see the same (replicated) global losses
     assert abs(losses[0] - losses[1]) < 1e-7, losses
-    # and it equals the single-process result on the same global batch
-    ref = _single_process_loss()
-    np.testing.assert_allclose(losses[0], ref, rtol=1e-5)
+    assert abs(mles[0] - mles[1]) < 1e-7, mles
+    # and they equal the single-process results on the same global batches
+    ref_loss, ref_mle = _single_process_loss()
+    np.testing.assert_allclose(losses[0], ref_loss, rtol=1e-5)
+    np.testing.assert_allclose(mles[0], ref_mle, rtol=1e-5)
