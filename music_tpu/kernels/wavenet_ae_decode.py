@@ -40,7 +40,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _grouping(cfg: WaveNetAEConfig):
+def _grouping(cfg: WaveNetAEConfig, row_lanes: int = 128):
     Cr = cfg.de_residual_channel
     order: list[int] = []
     members: dict[int, list[int]] = {}
@@ -52,8 +52,11 @@ def _grouping(cfg: WaveNetAEConfig):
     groups = [(d, members[d]) for d in order]
     lane_of_layer = {}
     for d, layers in groups:
-        if len(layers) * Cr > 128:
-            raise NotImplementedError("group exceeds one 128-lane row")
+        if len(layers) * Cr > row_lanes:
+            raise NotImplementedError(
+                f"group exceeds one {row_lanes}-lane row (use the "
+                "HBM-streaming variant, kernels.wavenet_ae_decode_hbm)"
+            )
         for k, i in enumerate(layers):
             lane_of_layer[i] = k * Cr
     return groups, lane_of_layer
@@ -85,7 +88,7 @@ def _build_kernel_weights(params: dict, cfg: WaveNetAEConfig, dtype):
 
 
 def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
-                         cfg: WaveNetAEConfig):
+                         cfg: WaveNetAEConfig, row_lanes: int = 128):
     """Parallel prime over the conditioned decoder; extracts ring init tiles
     (slot k of group g <- abs time P - d_g + k) and boot one-hots."""
     L, Cr, Q = cfg.n_blocks, cfg.de_residual_channel, cfg.quantization_channel
@@ -95,7 +98,7 @@ def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
     need = cfg.receptive_field + D_max
     if P < need:
         raise ValueError(f"prime length {P} < receptive_field + max_dilation = {need}")
-    groups, lane_of_layer = _grouping(cfg)
+    groups, lane_of_layer = _grouping(cfg, row_lanes)
 
     x = token_causal_conv(prime, params["de_causal"])
     streams = [x]
@@ -123,7 +126,7 @@ def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
 
     S = prime.shape[0]
     total_tiles = sum(d for d, _ in groups)
-    init = jnp.zeros((total_tiles, S, 128), jnp.float32)
+    init = jnp.zeros((total_tiles, S, row_lanes), jnp.float32)
     base = 0
     for g, (d, layers) in enumerate(groups):
         for i in layers:

@@ -1,0 +1,343 @@
+"""HBM-streaming conditioned decode for the WaveNet autoencoder.
+
+The scaled-model counterpart of :mod:`kernels.wavenet_ae_decode`: layer
+weights AND the per-frame conditioning-bias tables stay in HBM and stream
+through double-buffered VMEM scratch, following the pipeline of
+:mod:`kernels.wavenet_decode_hbm` (gate/projection packs per layer, a
+4-slot prefetch pipeline, post-matrix column blocks).  For long
+generations the conditioning tables dominate (F frames x streams x L*2Cd
+floats — tens of MB for 10 s of audio); they are laid out ``[F, S, C]``
+so the refresh on a frame boundary (every ``pool`` samples) is a single
+contiguous-row DMA into persistent scratch, amortized over the next
+``pool`` decode steps.
+
+The post stage adds the conditioning bias inside the blocked post1 matmul
+(``relu(h @ post1_block + cond_post[:, block])``); everything else —
+ring caches, one-hot tokens, MXU lane extraction, output tiling, and the
+reference's swapped gate split — matches the resident AE kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from music_tpu.models.wavenet_ae import WaveNetAEConfig
+from music_tpu.kernels.wavenet_ae_decode import (
+    N_STREAMS,
+    _collect_prime_state,
+    _grouping,
+    _round_up,
+)
+
+
+def _row_lanes(cfg: WaveNetAEConfig) -> int:
+    counts: dict[int, int] = {}
+    for d in cfg.dilations:
+        counts[d] = counts.get(d, 0) + 1
+    return _round_up(max(counts.values()) * cfg.de_residual_channel, 128)
+
+
+def _post_block(cfg: WaveNetAEConfig) -> int:
+    return min(128, math.gcd(cfg.de_skip_channel, cfg.quantization_channel))
+
+
+def _ae_kernel_hbm(
+    # VMEM inputs
+    cur0_ref,        # [S, Q]
+    prev0_ref,       # [S, Q]
+    ecur_ref,        # [Q, Cr]
+    eprev_ref,       # [Q, Cr]
+    # HBM (ANY) inputs
+    ring_init_hbm,   # [sum(d_g), S, W]
+    gate_hbm,        # [L, W + Cr, 2Cd]
+    proj_hbm,        # [L, Cd, Crp + Cs]
+    post_hbm,        # [Cs, Cs + Q]
+    condfg_hbm,      # [F, S, L*2Cd]
+    condpost_hbm,    # [F, S, Cs]
+    out_ref,         # [(T//128)*S, 128] i32
+    *scratch,
+    cfg: WaveNetAEConfig,
+    total: int,
+    t0_frame_offset: int,
+    F: int,
+    dtype,
+):
+    L = cfg.n_blocks
+    Cr, Cd, Cs, Q = (
+        cfg.de_residual_channel,
+        cfg.de_dilation_channel,
+        cfg.de_skip_channel,
+        cfg.quantization_channel,
+    )
+    S = N_STREAMS
+    NB = 4
+    pool = cfg.en_pool_kernel_size
+    W = _row_lanes(cfg)
+    Crp = _round_up(Cr, 128)
+    PB = _post_block(cfg)
+    n_p1, n_p2 = Cs // PB, Q // PB
+    n_post = n_p1 + n_p2
+    groups, lane_of_layer = _grouping(cfg, W)
+    n_groups = len(groups)
+    rings = scratch[:n_groups]
+    (gate_buf, proj_buf, post_buf, cond_fg_cur, cond_post_cur,
+     gate_sem, proj_sem, post_sem, cond_sem) = scratch[n_groups:]
+    layer_group = {}
+    for g, (d, layers) in enumerate(groups):
+        for i in layers:
+            layer_group[i] = g
+    ring_base = list(np.cumsum([0] + [d for d, _ in groups[:-1]]))
+
+    def gate_dma(slot, i):
+        return pltpu.make_async_copy(gate_hbm.at[i], gate_buf.at[slot], gate_sem.at[slot])
+
+    def proj_dma(slot, i):
+        return pltpu.make_async_copy(proj_hbm.at[i], proj_buf.at[slot], proj_sem.at[slot])
+
+    def post_dma(slot, j):
+        return pltpu.make_async_copy(
+            post_hbm.at[:, pl.ds(j * PB, PB)], post_buf.at[slot], post_sem.at[slot]
+        )
+
+    def refresh_cond(t):
+        # contiguous-row DMA of the current frame's bias rows (layout
+        # [F, S, C]); a stall here costs once per `pool` steps
+        frame = jnp.minimum((t + t0_frame_offset) // pool, F - 1)
+        fg_dma = pltpu.make_async_copy(
+            condfg_hbm.at[frame], cond_fg_cur, cond_sem.at[0]
+        )
+        post_dma_c = pltpu.make_async_copy(
+            condpost_hbm.at[frame], cond_post_cur, cond_sem.at[1]
+        )
+        fg_dma.start()
+        post_dma_c.start()
+        fg_dma.wait()
+        post_dma_c.wait()
+
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (S, Q), 1)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+
+    # boot: ring caches from HBM, layer pipeline warm-up, first cond rows
+    for g, (d, _) in enumerate(groups):
+        init_dma = pltpu.make_async_copy(
+            ring_init_hbm.at[pl.ds(ring_base[g], d)], rings[g], gate_sem.at[0]
+        )
+        init_dma.start()
+        init_dma.wait()
+    for i0 in range(min(NB - 1, L)):
+        gate_dma(i0 % NB, i0).start()
+        proj_dma(i0 % NB, i0).start()
+    refresh_cond(0)
+
+    def step(t, carry):
+        prev_oh, cur_oh, out_row = carry
+
+        @pl.when(jnp.logical_and(t > 0, (t + t0_frame_offset) % pool == 0))
+        def _():
+            refresh_cond(t)
+
+        x = jnp.dot(cur_oh, ecur_ref[:], preferred_element_type=jnp.float32)
+        x = (x + jnp.dot(prev_oh, eprev_ref[:], preferred_element_type=jnp.float32)).astype(dtype)
+
+        taps = []
+        slots = []
+        for g, (d, layers) in enumerate(groups):
+            slot = t % d if d > 1 else 0
+            slots.append(slot)
+            taps.append(rings[g][pl.ds(slot, 1)][0])
+
+        xs = []
+        skip_acc = jnp.zeros((S, Cs), jnp.float32)
+        for i in range(L):
+            slot = i % NB
+            nxt = i + NB - 1
+            if nxt < L:
+                gate_dma(nxt % NB, nxt).start()
+                proj_dma(nxt % NB, nxt).start()
+            if i + 1 == L:
+                post_dma(0, 0).start()
+            gate_dma(slot, i).wait()
+            proj_dma(slot, i).wait()
+
+            tap = taps[layer_group[i]]
+            xs.append(x)
+            fg = jnp.dot(tap, gate_buf[slot, :W], preferred_element_type=jnp.float32)
+            fg = fg + jnp.dot(x, gate_buf[slot, W:], preferred_element_type=jnp.float32)
+            fg = fg + cond_fg_cur[:, i * 2 * Cd : (i + 1) * 2 * Cd]
+            # reference gate split: gate first half, filter second
+            z = (jnp.tanh(fg[:, Cd:]) * jax.nn.sigmoid(fg[:, :Cd])).astype(dtype)
+            x = (x + jnp.dot(z, proj_buf[slot, :, :Cr], preferred_element_type=jnp.float32)).astype(dtype)
+            skip_acc = skip_acc + jnp.dot(
+                z, proj_buf[slot, :, Crp:], preferred_element_type=jnp.float32
+            )
+
+        for g, (d, layers) in enumerate(groups):
+            pieces = [xs[i] for i in layers]
+            pad = W - len(layers) * Cr
+            if pad:
+                pieces.append(jnp.zeros((S, pad), dtype))
+            rings[g][pl.ds(slots[g], 1)] = jnp.concatenate(pieces, axis=1)[None]
+
+        # blocked post1 with the conditioning bias folded in, then post2
+        h = jax.nn.relu(skip_acc).astype(dtype)
+        h2_blocks = []
+        for j in range(n_p1):
+            slot = j % 2
+            if j + 1 < n_post:
+                post_dma((j + 1) % 2, j + 1).start()
+            post_dma(slot, j).wait()
+            blk = jnp.dot(h, post_buf[slot], preferred_element_type=jnp.float32)
+            blk = blk + cond_post_cur[:, j * PB : (j + 1) * PB]
+            h2_blocks.append(jax.nn.relu(blk).astype(dtype))
+        h2 = jnp.concatenate(h2_blocks, axis=1)
+        logit_blocks = []
+        for j2 in range(n_p2):
+            j = n_p1 + j2
+            slot = j % 2
+            if j + 1 < n_post:
+                post_dma((j + 1) % 2, j + 1).start()
+            else:
+                @pl.when(t + 1 < total)
+                def _():
+                    for i0 in range(min(NB - 1, L)):
+                        gate_dma(i0 % NB, i0).start()
+                        proj_dma(i0 % NB, i0).start()
+            post_dma(slot, j).wait()
+            logit_blocks.append(
+                jnp.dot(h2, post_buf[slot], preferred_element_type=jnp.float32)
+            )
+        logits = jnp.concatenate(logit_blocks, axis=1)
+
+        next_tok = jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)
+        next_oh = (q_iota == next_tok).astype(dtype)
+        out_row = jnp.where(lane_iota == (t % 128), next_tok, out_row)
+
+        @pl.when(t % 128 == 127)
+        def _():
+            base = pl.multiple_of((t // 128) * S, 8)
+            out_ref[pl.ds(base, S), :] = out_row
+
+        return cur_oh, next_oh, out_row
+
+    jax.lax.fori_loop(
+        0, total, step,
+        (prev0_ref[:], cur0_ref[:], jnp.zeros((S, 128), jnp.int32)),
+    )
+
+
+def _build_hbm_weights(params: dict, cfg: WaveNetAEConfig, dtype):
+    L, Cr, Cd, Cs = (
+        cfg.n_blocks,
+        cfg.de_residual_channel,
+        cfg.de_dilation_channel,
+        cfg.de_skip_channel,
+    )
+    W = _row_lanes(cfg)
+    Crp = _round_up(Cr, 128)
+    _, lane_of_layer = _grouping(cfg, W)
+
+    gate = jnp.zeros((L, W + Cr, 2 * Cd), jnp.float32)
+    for i in range(L):
+        off = lane_of_layer[i]
+        gate = gate.at[i, off : off + Cr].set(params["fg"][i, 0])
+        gate = gate.at[i, W : W + Cr].set(params["fg"][i, 1])
+    dense_p = jnp.zeros((L, Cd, Crp), jnp.float32).at[:, :, :Cr].set(params["dense"])
+    proj = jnp.concatenate([dense_p, params["skip"]], axis=2)
+    post = jnp.concatenate([params["conn1"], params["conn2"]], axis=1)
+    return {
+        "ecur": params["de_causal"][1].astype(dtype),
+        "eprev": params["de_causal"][0].astype(dtype),
+        "gate": gate.astype(dtype),
+        "proj": proj.astype(dtype),
+        "post": post.astype(dtype),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret", "dtype"))
+def generate_tokens_fused_hbm(
+    params: dict,
+    encoding: jax.Array,
+    prime: jax.Array,
+    *,
+    cfg: WaveNetAEConfig,
+    n_steps: int,
+    interpret: bool = False,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Conditioned decode with HBM-resident weights + conditioning tables —
+    same contract as :func:`kernels.wavenet_ae_decode.generate_tokens_fused`
+    but with no VMEM ceiling on model size or generation length."""
+    if cfg.filter_width != 2:
+        raise NotImplementedError("fused decode assumes filter_width=2")
+    B, P = prime.shape
+    S = N_STREAMS
+    if B > S:
+        raise ValueError(f"at most {S} streams, got {B}")
+    if B < S:
+        pad = S - B
+        prime = jnp.concatenate([prime, jnp.tile(prime[-1:], (pad, 1))], axis=0)
+        encoding = jnp.concatenate(
+            [encoding, jnp.tile(encoding[-1:], (pad, 1, 1))], axis=0
+        )
+    W = _row_lanes(cfg)
+    PB = _post_block(cfg)
+    Cd = cfg.de_dilation_channel
+    if cfg.de_skip_channel % PB or cfg.quantization_channel % PB:
+        raise NotImplementedError("Cs and Q must share a 128-ish divisor")
+    if not interpret and (PB < 128 or (2 * Cd) % 128):
+        raise NotImplementedError(
+            "the hardware path needs skip/quantization channels multiples of "
+            "128 and dilation channels a multiple of 64"
+        )
+    groups, _ = _grouping(cfg, W)
+
+    ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, encoding, cfg, W)
+    w = _build_hbm_weights(params, cfg, dtype)
+    F = encoding.shape[1]
+    # [F, S, C] frame-major tables: one contiguous-row DMA per refresh
+    cond_fg = jnp.einsum("bfw,lwc->fblc", encoding, params["cond_fg"])
+    cond_fg = cond_fg.reshape(F, S, cfg.n_blocks * 2 * Cd)
+    cond_post = jnp.swapaxes(
+        jnp.einsum("bfw,wc->bfc", encoding, params["cond_post"]), 0, 1
+    )  # [F, S, Cs]
+
+    total = _round_up(n_steps, 128)
+    kernel = functools.partial(
+        _ae_kernel_hbm, cfg=cfg, total=total, t0_frame_offset=P, F=F, dtype=dtype
+    )
+    Cr, Cs, Q = cfg.de_residual_channel, cfg.de_skip_channel, cfg.quantization_channel
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(((total // 128) * S, 128), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((d, S, W), dtype) for d, _ in groups]
+        + [
+            pltpu.VMEM((4, W + Cr, 2 * Cd), dtype),            # gate buffers
+            pltpu.VMEM((4, Cd, _round_up(Cr, 128) + Cs), dtype),  # proj buffers
+            pltpu.VMEM((2, Cs, PB), dtype),                    # post buffers
+            pltpu.VMEM((S, cfg.n_blocks * 2 * Cd), dtype),     # cond_fg row
+            pltpu.VMEM((S, Cs), dtype),                        # cond_post row
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        cur0.astype(dtype), prev0.astype(dtype), w["ecur"], w["eprev"],
+        ring0.astype(dtype), w["gate"], w["proj"], w["post"],
+        cond_fg.astype(dtype), cond_post.astype(dtype),
+    )
+    toks = out.reshape(total // 128, S, 128)
+    toks = jnp.swapaxes(toks, 0, 1).reshape(S, total)[:, :n_steps]
+    return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]

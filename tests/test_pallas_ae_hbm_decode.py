@@ -1,0 +1,80 @@
+"""HBM-streaming conditioned AE decode vs the scan decoder and the
+resident kernel (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from music_tpu.kernels.wavenet_ae_decode_hbm import generate_tokens_fused_hbm
+from music_tpu.models import wavenet_ae as ae
+
+TINY = ae.WaveNetAEConfig(
+    filter_width=2,
+    dilations=(1, 2, 4, 8, 1, 2, 4, 8),
+    en_residual_channel=8,
+    en_dilation_channel=8,
+    de_residual_channel=8,
+    de_dilation_channel=8,
+    de_skip_channel=16,
+    en_bottleneck_width=12,
+    en_pool_kernel_size=16,
+    quantization_channel=32,
+)
+
+# 9 layers x 16 residual channels = 144 lanes > 128: beyond the resident
+# kernel's ring-row limit
+WIDE = ae.WaveNetAEConfig(
+    filter_width=2,
+    dilations=(1, 2) * 9,
+    en_residual_channel=8,
+    en_dilation_channel=8,
+    de_residual_channel=16,
+    de_dilation_channel=8,
+    de_skip_channel=16,
+    en_bottleneck_width=12,
+    en_pool_kernel_size=16,
+    quantization_channel=32,
+)
+
+
+def test_ae_hbm_decode_matches_scan():
+    params = ae.init_params(jax.random.PRNGKey(0), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 8
+    prime = jax.random.randint(jax.random.PRNGKey(1), (2, P), 0, 32)
+    F = 12
+    encoding = jax.random.normal(jax.random.PRNGKey(2), (2, F, 12)) * 0.3
+
+    ref = ae.generate_tokens(
+        params, encoding, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=100, sample_mode="argmax",
+    )
+    fused = generate_tokens_fused_hbm(
+        params, encoding, prime, cfg=TINY, n_steps=100, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+def test_ae_hbm_decode_wide_group_matches_scan():
+    import pytest
+
+    from music_tpu.kernels.wavenet_ae_decode import (
+        generate_tokens_fused as resident,
+    )
+
+    params = ae.init_params(jax.random.PRNGKey(3), WIDE)
+    P = WIDE.receptive_field + max(WIDE.dilations) + 4
+    prime = jax.random.randint(jax.random.PRNGKey(4), (2, P), 0, 32)
+    F = 8
+    encoding = jax.random.normal(jax.random.PRNGKey(5), (2, F, 12)) * 0.3
+
+    with pytest.raises(NotImplementedError):
+        resident(params, encoding, prime, cfg=WIDE, n_steps=8, interpret=True)
+
+    ref = ae.generate_tokens(
+        params, encoding, prime, jax.random.PRNGKey(0),
+        cfg=WIDE, n_steps=50, sample_mode="argmax",
+    )
+    fused = generate_tokens_fused_hbm(
+        params, encoding, prime, cfg=WIDE, n_steps=50, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
