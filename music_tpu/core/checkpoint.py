@@ -52,23 +52,42 @@ def save(
     Writes atomically (tmp dir + rename), then rotates old checkpoints down
     to ``max_checkpoints`` — the wavenet rotation behavior
     (wavenet/train.py:198-216) without the leak_gan cpkt/ckpt typo.
+
+    Multi-host: call on EVERY process (host-sharded leaves are gathered
+    with a collective); only process 0 touches the filesystem.
     """
+    is_main = jax.process_index() == 0
     ckpt_dir = Path(ckpt_dir)
-    ckpt_dir.mkdir(parents=True, exist_ok=True)
     target = ckpt_dir / f"step_{step}"
     tmp = ckpt_dir / f".tmp_step_{step}"
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    tmp.mkdir()
+    if is_main:
+        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir()
 
     leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(state)
     arrays = {}
     manifest_leaves = []
     for i, (path, leaf) in enumerate(leaves_with_paths):
+        if (
+            isinstance(leaf, jax.Array)
+            and not leaf.is_fully_addressable
+            and not leaf.is_fully_replicated
+        ):
+            # multi-host + sharded (e.g. tp over hosts): replicate across
+            # processes (a collective all-gather correct for ANY dim
+            # layout) so process 0 can materialize the global value
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(leaf.sharding.mesh, PartitionSpec())
+            leaf = jax.jit(lambda x: x, out_shardings=rep)(leaf)
         arr = np.asarray(jax.device_get(leaf))
         key = f"leaf_{i}"
         arrays[key] = arr
         manifest_leaves.append({"path": _keystr(path), "key": key, "dtype": str(arr.dtype)})
+    if not is_main:
+        return target
     np.savez(tmp / _ARRAYS, **arrays)
     (tmp / _MANIFEST).write_text(
         json.dumps(

@@ -60,6 +60,21 @@ def main(pid: int, nproc: int, port: int) -> None:
     mle = tr.pretrain_generator(positive, epochs=2)
     print(f"MHSEQGAN {mle:.8f}", flush=True)
 
+    # checkpoint a HOST-SHARDED leaf: save() gathers collectively, writes
+    # on process 0 only
+    if len(sys.argv) > 4:
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from music_tpu.core import checkpoint as ckpt_lib
+
+        m2 = Mesh(np.array(jax.devices()), ("model",))
+        w = jnp.arange(16.0).reshape(8, 2)
+        w_sharded = jax.device_put(w, NamedSharding(m2, P(None, "model")))
+        assert not w_sharded.is_fully_addressable
+        ckpt_lib.save(sys.argv[4], 3, {"w": w_sharded}, max_checkpoints=2)
+        print("MHCKPT done", flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))

@@ -61,13 +61,14 @@ def _single_process_loss() -> tuple[float, float]:
     return float(loss), float(mle)
 
 
-def test_two_process_cluster_matches_single_process():
+def test_two_process_cluster_matches_single_process(tmp_path):
     port = _free_port()
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    ckpt_dir = tmp_path / "mh_ckpt"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), str(pid), "2", str(port)],
+            [sys.executable, str(WORKER), str(pid), "2", str(port), str(ckpt_dir)],
             cwd=REPO, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
@@ -99,3 +100,12 @@ def test_two_process_cluster_matches_single_process():
     ref_loss, ref_mle = _single_process_loss()
     np.testing.assert_allclose(losses[0], ref_loss, rtol=1e-5)
     np.testing.assert_allclose(mles[0], ref_mle, rtol=1e-5)
+
+    # the host-sharded checkpoint was gathered and written (process 0 only)
+    assert all("MHCKPT done" in out for out in outs)
+    from music_tpu.core import checkpoint as ckpt_lib
+
+    state = ckpt_lib.restore(ckpt_dir, {"w": np.zeros((8, 2), np.float32)})
+    np.testing.assert_array_equal(
+        state["w"], np.arange(16.0, dtype=np.float32).reshape(8, 2)
+    )
