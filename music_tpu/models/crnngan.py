@@ -189,33 +189,40 @@ def discriminator_forward(params: dict, events: jax.Array, cfg: CRnnGanConfig):
 
 
 def d_loss(d_params: dict, real: jax.Array, fake: jax.Array, cfg: CRnnGanConfig,
-           eps: float = 1e-7) -> jax.Array:
-    """Per-timestep BCE: real -> 1, fake -> 0."""
-    p_real, _ = discriminator_forward(d_params, real, cfg)
-    p_fake, _ = discriminator_forward(d_params, fake, cfg)
+           eps: float = 1e-7, d_forward=None) -> jax.Array:
+    """Per-timestep BCE: real -> 1, fake -> 0.  ``d_forward`` overrides the
+    discriminator forward (the model-parallel trainer passes
+    parallel/gan_tp.crnngan_forward_tp)."""
+    fwd = d_forward or discriminator_forward
+    p_real, _ = fwd(d_params, real, cfg)
+    p_fake, _ = fwd(d_params, fake, cfg)
     return -(jnp.mean(jnp.log(p_real + eps)) + jnp.mean(jnp.log(1.0 - p_fake + eps)))
 
 
 def g_adv_loss(g_params: dict, d_params: dict, key: jax.Array, batch: int,
-               cfg: CRnnGanConfig, meta: jax.Array | None = None) -> jax.Array:
+               cfg: CRnnGanConfig, meta: jax.Array | None = None,
+               d_forward=None) -> jax.Array:
     """Adversarial G loss: -mean log D(fake)."""
+    fwd = d_forward or discriminator_forward
     fake = generate(g_params, key, cfg, batch, meta=meta)
-    p_fake, _ = discriminator_forward(d_params, fake, cfg)
+    p_fake, _ = fwd(d_params, fake, cfg)
     return -jnp.mean(jnp.log(p_fake + 1e-7))
 
 
 def g_feature_matching_loss(g_params: dict, d_params: dict, key: jax.Array,
                             real: jax.Array, cfg: CRnnGanConfig,
                             meta: jax.Array | None = None,
-                            axis_name: str | None = None) -> jax.Array:
+                            axis_name: str | None = None,
+                            d_forward=None) -> jax.Array:
     """Paper's feature matching: MSE between mean D features on real vs
     fake batches.  ``axis_name``: data mesh axis when called inside
     shard_map — the feature means are pmean'd over the GLOBAL batch before
     the MSE (the loss is nonlinear in the mean, so per-shard means would
     change semantics)."""
+    fwd = d_forward or discriminator_forward
     fake = generate(g_params, key, cfg, real.shape[0], meta=meta)
-    _, f_real = discriminator_forward(d_params, real, cfg)
-    _, f_fake = discriminator_forward(d_params, fake, cfg)
+    _, f_real = fwd(d_params, real, cfg)
+    _, f_fake = fwd(d_params, fake, cfg)
     fr, ff = f_real.mean(axis=(0, 1)), f_fake.mean(axis=(0, 1))
     if axis_name is not None:
         fr, ff = jax.lax.pmean((fr, ff), axis_name)

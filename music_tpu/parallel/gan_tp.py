@@ -149,3 +149,81 @@ def leakgan_forward_tp(d_params, tokens, cfg, *, dropout_key=None,
         d_params, tokens, cfg, axis_name=axis_name, dropout_key=dropout_key,
         post_highway_feature=True, softmax_pred=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# C-RNN-GAN: hidden-split bi-LSTM discriminator (parallel/rnn_tp.py cells)
+# ---------------------------------------------------------------------------
+
+
+def crnngan_d_specs() -> dict:
+    """PartitionSpecs for a REPACKED C-RNN-GAN discriminator pytree
+    (models/crnngan.init_discriminator structure after
+    :func:`repack_crnngan_d`); the tiny per-step head stays replicated."""
+    from music_tpu.parallel.rnn_tp import lstm_specs
+
+    return {
+        "fwd1": lstm_specs(), "bwd1": lstm_specs(),
+        "fwd2": lstm_specs(), "bwd2": lstm_specs(),
+        "out": {"w": P(), "b": P()},
+    }
+
+
+def repack_crnngan_d(params: dict, m: int) -> dict:
+    """Gate-major repack of all four LSTMs (see rnn_tp.repack_lstm_params);
+    inverse with :func:`unpack_crnngan_d` for layout-stable checkpoints."""
+    from music_tpu.parallel.rnn_tp import repack_lstm_params
+
+    out = {k: repack_lstm_params(v, m) for k, v in params.items() if k != "out"}
+    out["out"] = params["out"]
+    return out
+
+
+def unpack_crnngan_d(params: dict, m: int) -> dict:
+    """Inverse of :func:`repack_crnngan_d` (restores torch gate order)."""
+    from music_tpu.parallel.rnn_tp import _gate_perm
+
+    def inv(p):
+        H = p["wh"].shape[0]
+        iperm = np.argsort(_gate_perm(H, m))
+        return {
+            "wi": p["wi"][:, iperm], "wh": p["wh"][:, iperm],
+            "bi": p["bi"][iperm], "bh": p["bh"][iperm],
+        }
+
+    out = {k: inv(v) for k, v in params.items() if k != "out"}
+    out["out"] = params["out"]
+    return out
+
+
+def crnngan_forward_tp(params: dict, events, cfg, axis_name: str = "model"):
+    """Hidden-split bi-LSTM discriminator forward inside shard_map —
+    numerically identical to models/crnngan.discriminator_forward on the
+    un-repacked params.  One [B, H] psum per LSTM per timestep."""
+    from music_tpu.ops.rnn import linear
+    from music_tpu.parallel.rnn_tp import lstm_cell_tp, lstm_zero_state_tp
+
+    m = jax.lax.axis_size(axis_name)
+    B = events.shape[0]
+    H = cfg.hidden_dim
+
+    def run(p_local, seq):  # seq [T, B, F]
+        state = lstm_zero_state_tp(p_local, B, H, m, seq, seq.dtype)
+
+        def step(carry, x_t):
+            h, c = lstm_cell_tp(p_local, x_t, carry, axis_name)
+            return (h, c), h
+
+        _, hs = jax.lax.scan(step, state, seq)
+        return hs  # [T, B, H] replicated
+
+    def bilstm(fwd_p, bwd_p, xs):  # xs [B, T, F]
+        seq = jnp.swapaxes(xs, 0, 1)
+        fwd = run(fwd_p, seq)
+        bwd = run(bwd_p, seq[::-1])[::-1]
+        return jnp.swapaxes(jnp.concatenate([fwd, bwd], axis=-1), 0, 1)
+
+    h = bilstm(params["fwd1"], params["bwd1"], events)
+    h = bilstm(params["fwd2"], params["bwd2"], h)
+    logits = linear(params["out"], h)[..., 0]
+    return jax.nn.sigmoid(logits), h

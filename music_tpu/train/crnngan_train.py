@@ -68,10 +68,83 @@ class CRnnGanTrainer:
         cfg = tc.cfg
         self.g_params = cg.init_generator(self.keys.next(), cfg)
         self.d_params = cg.init_discriminator(self.keys.next(), cfg)
+
+        # model-axis (hidden-split) bi-LSTM discriminator: D params stored
+        # gate-repacked + sharded (parallel/rnn_tp.py, parallel/gan_tp.py);
+        # checkpoints always store the torch gate order (state()/restore)
+        self.tp = mesh is not None and mesh.shape.get("model", 1) > 1
+        self._tp_m = mesh.shape["model"] if self.tp else 1
+        if self.tp:
+            from jax.sharding import NamedSharding
+
+            from music_tpu.parallel import gan_tp
+
+            self._gan_tp = gan_tp
+            d_specs = gan_tp.crnngan_d_specs()
+            self.d_params = jax.tree_util.tree_map(
+                lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+                gan_tp.repack_crnngan_d(self.d_params, self._tp_m), d_specs,
+            )
+        else:
+            self._gan_tp = None
+            d_specs = P()
+        self._d_specs = d_specs
+
         self.g_tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip), optax.adam(tc.g_lr))
-        self.d_tx = optax.chain(optax.clip_by_global_norm(tc.grad_clip), optax.adam(tc.d_lr))
+        # with tp the clip is applied manually (vma-aware; see below)
+        # identity placeholder keeps the opt-state STRUCTURE identical to
+        # the non-tp chain, so checkpoints swap between tp/non-tp trainers
+        self.d_tx = (
+            optax.chain(optax.identity(), optax.adam(tc.d_lr))
+            if self.tp
+            else optax.chain(optax.clip_by_global_norm(tc.grad_clip), optax.adam(tc.d_lr))
+        )
         self.g_opt = self.g_tx.init(self.g_params)
         self.d_opt = self.d_tx.init(self.d_params)
+        if self.tp:
+            pdef = jax.tree_util.tree_structure(self.d_params)
+
+            def _is_param_tree(x):
+                return jax.tree_util.tree_structure(x) == pdef
+
+            self._is_d_param_tree = _is_param_tree
+            d_opt_specs = jax.tree_util.tree_map(
+                lambda x: d_specs if _is_param_tree(x) else P(),
+                self.d_opt, is_leaf=_is_param_tree,
+            )
+        else:
+            self._is_d_param_tree = None
+            d_opt_specs = P()
+
+        if self.tp:
+            gan_tp = self._gan_tp
+            d_fwd = gan_tp.crnngan_forward_tp
+
+            def _spec_has_model(sp):
+                return any(
+                    e == "model" or (isinstance(e, tuple) and "model" in e)
+                    for e in sp
+                )
+
+            def clip_d_grads(grads):
+                # vma-aware global-norm clip (see seqgan_train's rationale)
+                sq = 0.0
+                for g, sp in zip(
+                    jax.tree_util.tree_leaves(grads),
+                    jax.tree_util.tree_leaves(
+                        d_specs, is_leaf=lambda x: isinstance(x, P)
+                    ),
+                ):
+                    ss = jnp.sum(jnp.square(g))
+                    sq = sq + (
+                        jax.lax.psum(ss, "model") if _spec_has_model(sp) else ss
+                    )
+                norm = jnp.sqrt(sq)
+                scale = jnp.where(norm < tc.grad_clip, 1.0, tc.grad_clip / norm)
+                return jax.tree_util.tree_map(lambda g: g * scale, grads)
+        else:
+            d_fwd = cg.discriminator_forward
+            clip_d_grads = None
 
         def pmean(tree):
             return jax.lax.pmean(tree, axis) if axis else tree
@@ -82,7 +155,7 @@ class CRnnGanTrainer:
             )
 
         def shardify(body, in_specs, out_specs):
-            if axis is None:
+            if mesh is None or (axis is None and not self.tp):
                 return body
             return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
@@ -104,15 +177,66 @@ class CRnnGanTrainer:
             )
             return body(g_params, g_opt, real, meta, key)
 
-        def gan_step_impl(g_params, d_params, g_opt, d_opt, real, meta, key):
-            """One alternation: D BCE step (gated on D strength) + G step
-            (adversarial or feature-matching, gated on D(fake)).  Gate
-            statistics are pmean'd so all dp shards branch identically."""
+        def gan_d_impl(g_params, d_params, d_opt, real, meta, key):
+            """D half of the alternation: BCE step applied only while D
+            isn't too strong (freezing rule).  The gate statistics are
+            pmean'd so every shard selects identically; where-selection
+            replaces lax.cond because the branches contain collectives
+            (per-step model-axis psums under tp), which abort inside cond
+            branches at run time."""
+            key = localize(key)
+            k1, _, _ = jax.random.split(key, 3)
+            fake = cg.generate(g_params, k1, cfg, real.shape[0], meta=meta)
+            p_real, _ = d_fwd(d_params, real, cfg)
+            p_fake, _ = d_fwd(d_params, fake, cfg)
+            d_acc = pmean(0.5 * (jnp.mean(p_real > 0.5) + jnp.mean(p_fake < 0.5)))
+            mean_p_fake = pmean(jnp.mean(p_fake))
+
+            dl, grads = jax.value_and_grad(
+                lambda dp: cg.d_loss(dp, real, fake, cfg, d_forward=d_fwd)
+            )(d_params)
+            dl, grads = pmean((dl, grads))
+            if clip_d_grads is not None:
+                grads = clip_d_grads(grads)
+            upd, opt_trained = self.d_tx.update(grads, d_opt)
+            d_trained = optax.apply_updates(d_params, upd)
+            do_train = d_acc < self.tc.d_too_strong
+            sel = lambda a, b: jax.tree_util.tree_map(
+                lambda x, y: jnp.where(do_train, x, y), a, b
+            )
+            new_d, new_d_opt = sel(d_trained, d_params), sel(opt_trained, d_opt)
+            return new_d, new_d_opt, dl, d_acc, mean_p_fake
+
+        def gan_g_impl(g_params, d_params, g_opt, real, meta, key, mean_p_fake):
+            """G half: adversarial or feature-matching loss, selected by
+            the (replicated) D-saturation statistic from the D half."""
+            key = localize(key)
+            _, k2, k3 = jax.random.split(key, 3)
+            use_fm = mean_p_fake < self.tc.feature_matching_below
+
+            def g_loss(gp):
+                fm = cg.g_feature_matching_loss(
+                    gp, d_params, k2, real, cfg, meta=meta, axis_name=axis,
+                    d_forward=d_fwd,
+                )
+                adv = cg.g_adv_loss(
+                    gp, d_params, k3, real.shape[0], cfg, meta=meta, d_forward=d_fwd
+                )
+                return jnp.where(use_fm, fm, adv)
+
+            gl, g_grads = jax.value_and_grad(g_loss)(g_params)
+            gl, g_grads = pmean((gl, g_grads))
+            upd, new_g_opt = self.g_tx.update(g_grads, g_opt)
+            return optax.apply_updates(g_params, upd), new_g_opt, gl
+
+        def gan_single_impl(g_params, d_params, g_opt, d_opt, real, meta, key):
+            # non-tp path: one program, lax.cond gates (collective-free
+            # branches) — the shape that is stable on XLA:CPU
             key = localize(key)
             k1, k2, k3 = jax.random.split(key, 3)
             fake = cg.generate(g_params, k1, cfg, real.shape[0], meta=meta)
-            p_real, _ = cg.discriminator_forward(d_params, real, cfg)
-            p_fake, _ = cg.discriminator_forward(d_params, fake, cfg)
+            p_real, _ = d_fwd(d_params, real, cfg)
+            p_fake, _ = d_fwd(d_params, fake, cfg)
             d_acc = pmean(0.5 * (jnp.mean(p_real > 0.5) + jnp.mean(p_fake < 0.5)))
             mean_p_fake = pmean(jnp.mean(p_fake))
 
@@ -151,9 +275,9 @@ class CRnnGanTrainer:
             return new_g, new_d, new_g_opt, new_d_opt, gl, dl, d_acc
 
         @jax.jit
-        def gan_step(g_params, d_params, g_opt, d_opt, real, meta, key):
+        def gan_single_step(g_params, d_params, g_opt, d_opt, real, meta, key):
             body = shardify(
-                gan_step_impl,
+                gan_single_impl,
                 in_specs=(
                     P(), P(), P(), P(),
                     P("data", None, None), P("data", None), P(),
@@ -162,8 +286,38 @@ class CRnnGanTrainer:
             )
             return body(g_params, d_params, g_opt, d_opt, real, meta, key)
 
+        # NOTE (tp): two separate programs rather than one — XLA:CPU's
+        # collective rendezvous miscounts participants when the D-grad and
+        # G-grad model-axis all-reduces share one executable (crashes the
+        # process); two executables also cost nothing on TPU
+        @jax.jit
+        def gan_d_step(g_params, d_params, d_opt, real, meta, key):
+            body = shardify(
+                gan_d_impl,
+                in_specs=(
+                    P(), d_specs, d_opt_specs,
+                    P("data", None, None), P("data", None), P(),
+                ),
+                out_specs=(d_specs, d_opt_specs, P(), P(), P()),
+            )
+            return body(g_params, d_params, d_opt, real, meta, key)
+
+        @jax.jit
+        def gan_g_step(g_params, d_params, g_opt, real, meta, key, mean_p_fake):
+            body = shardify(
+                gan_g_impl,
+                in_specs=(
+                    P(), d_specs, P(),
+                    P("data", None, None), P("data", None), P(), P(),
+                ),
+                out_specs=(P(), P(), P()),
+            )
+            return body(g_params, d_params, g_opt, real, meta, key, mean_p_fake)
+
         self._pre_step = pre_step
-        self._gan_step = gan_step
+        self._gan_single_step = gan_single_step
+        self._gan_d_step = gan_d_step
+        self._gan_g_step = gan_g_step
 
 
     def _put_batch(self, arr):
@@ -201,20 +355,51 @@ class CRnnGanTrainer:
         order = np.random.default_rng(0).permutation(len(data))
         for i in range(0, len(data) - B + 1, B):
             idx = order[i : i + B]
-            (self.g_params, self.d_params, self.g_opt, self.d_opt,
-             g_loss, d_loss, d_acc) = self._gan_step(
-                self.g_params, self.d_params, self.g_opt, self.d_opt,
-                self._put_batch(data[idx]),
-                self._put_batch(self._meta_rows(meta, idx)),
-                self.keys.next(),
-            )
+            real_b = self._put_batch(data[idx])
+            meta_b = self._put_batch(self._meta_rows(meta, idx))
+            key_b = self.keys.next()
+            if not self.tp:
+                (self.g_params, self.d_params, self.g_opt, self.d_opt,
+                 g_loss, d_loss, d_acc) = self._gan_single_step(
+                    self.g_params, self.d_params, self.g_opt, self.d_opt,
+                    real_b, meta_b, key_b,
+                )
+            else:
+                self.d_params, self.d_opt, d_loss, d_acc, mpf = self._gan_d_step(
+                    self.g_params, self.d_params, self.d_opt,
+                    real_b, meta_b, key_b,
+                )
+                # drain program 1's collectives before program 2 launches
+                # its own (XLA:CPU rendezvous fragility); free on TPU
+                self.d_params = jax.block_until_ready(self.d_params)
+                self.g_params, self.g_opt, g_loss = self._gan_g_step(
+                    self.g_params, self.d_params, self.g_opt, real_b, meta_b,
+                    key_b, mpf,
+                )
+                self.g_params = jax.block_until_ready(self.g_params)
             gl, dl, acc = float(g_loss), float(d_loss), float(d_acc)
         return gl, dl, acc
 
+    def _map_d_layout(self, tree, fn):
+        # apply fn to the param tree itself or to every param-shaped
+        # subtree of an optimizer state (adam's mu/nu)
+        if not self.tp:
+            return tree
+        if self._is_d_param_tree(tree):
+            return fn(tree, self._tp_m)
+        return jax.tree_util.tree_map(
+            lambda x: fn(x, self._tp_m) if self._is_d_param_tree(x) else x,
+            tree, is_leaf=self._is_d_param_tree,
+        )
+
     def state(self):
+        # checkpoints always store the torch gate order, independent of tp
+        unpack = self._gan_tp.unpack_crnngan_d if self.tp else None
         return {
-            "g_params": self.g_params, "d_params": self.d_params,
-            "g_opt": self.g_opt, "d_opt": self.d_opt,
+            "g_params": self.g_params,
+            "d_params": self._map_d_layout(self.d_params, unpack),
+            "g_opt": self.g_opt,
+            "d_opt": self._map_d_layout(self.d_opt, unpack),
         }
 
     def save(self, ckpt_dir: str | Path, step: int):
@@ -222,6 +407,9 @@ class CRnnGanTrainer:
 
     def restore(self, ckpt_dir: str | Path) -> int:
         state, step = ckpt_lib.restore_or_init(ckpt_dir, self.state())
-        self.g_params, self.d_params = state["g_params"], state["d_params"]
-        self.g_opt, self.d_opt = state["g_opt"], state["d_opt"]
+        repack = self._gan_tp.repack_crnngan_d if self.tp else None
+        self.g_params = state["g_params"]
+        self.d_params = self._map_d_layout(state["d_params"], repack)
+        self.g_opt = state["g_opt"]
+        self.d_opt = self._map_d_layout(state["d_opt"], repack)
         return step

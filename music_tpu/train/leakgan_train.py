@@ -105,8 +105,13 @@ class LeakGanTrainer:
         # with tp the global-norm clip is applied manually (vma-aware);
         # optax's chained clip would compute a per-shard norm over the
         # model-sharded D leaves
+        # identity placeholder keeps the opt-state structure identical to
+        # the non-tp chain (checkpoint compatibility across trainer modes)
         self.d_tx = (
-            optax.adam(step_lr(tc.d_lr, tc.decay_step_size, tc.decay_rate))
+            optax.chain(
+                optax.identity(),
+                optax.adam(step_lr(tc.d_lr, tc.decay_step_size, tc.decay_rate)),
+            )
             if self.tp else tx(tc.d_lr)
         )
         self.m_opt = self.m_tx.init(self.g_params["manager"])

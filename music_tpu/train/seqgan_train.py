@@ -122,8 +122,10 @@ class SeqGanTrainer:
         # with tp, the global-norm clip is applied manually (vma-aware —
         # see clip_d_grads below); the chained optax clip would compute a
         # per-shard norm over the model-sharded leaves
+        # identity placeholder keeps the opt-state structure identical to
+        # the non-tp chain (checkpoint compatibility across trainer modes)
         self.d_tx = (
-            optax.adam(cfg.d_lr)
+            optax.chain(optax.identity(), optax.adam(cfg.d_lr))
             if self.tp
             else optax.chain(
                 optax.clip_by_global_norm(cfg.grad_clip), optax.adam(cfg.d_lr)

@@ -130,3 +130,54 @@ def test_leakgan_tp_forward_and_grads_match():
         ),
         tp_grads, ref_grads,
     )
+
+
+def test_crnngan_tp_forward_and_grads_match():
+    """Hidden-split bi-LSTM discriminator (parallel/rnn_tp.py) must match
+    the replicated forward exactly on the un-repacked params, and the TP
+    grads must equal the reference grads after the same gate repacking."""
+    from music_tpu.models import crnngan as cg
+
+    cfg = cg.CRnnGanConfig(noise_dim=8, hidden_dim=16, song_length=12)
+    m = 2
+    mesh = _tp_mesh(m)
+    params = cg.init_discriminator(jax.random.PRNGKey(0), cfg)
+    repacked = gan_tp.repack_crnngan_d(params, m)
+    # repack is invertible
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        gan_tp.unpack_crnngan_d(repacked, m), params,
+    )
+    specs = gan_tp.crnngan_d_specs()
+    sharded = _shard(mesh, repacked, specs)
+    events = jax.random.normal(jax.random.PRNGKey(1), (3, 12, 4))
+
+    ref_dec, ref_feat = cg.discriminator_forward(params, events, cfg)
+    tp_fwd = shard_map(
+        lambda p, e: gan_tp.crnngan_forward_tp(p, e, cfg),
+        mesh=mesh, in_specs=(specs, P()), out_specs=P(),
+    )
+    dec, feat = tp_fwd(sharded, events)
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(ref_dec), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(feat), np.asarray(ref_feat), rtol=2e-5, atol=1e-6)
+
+    # grads through the TP loss == repacked reference grads
+    fake = jax.random.normal(jax.random.PRNGKey(2), (3, 12, 4))
+    ref_loss, ref_grads = jax.value_and_grad(
+        lambda p: cg.d_loss(p, events, fake, cfg)
+    )(params)
+    ref_grads_rp = gan_tp.repack_crnngan_d(ref_grads, m)
+    tp_loss_fn = shard_map(
+        lambda p: cg.d_loss(
+            p, events, fake, cfg, d_forward=gan_tp.crnngan_forward_tp
+        ),
+        mesh=mesh, in_specs=(specs,), out_specs=P(),
+    )
+    tp_loss, tp_grads = jax.jit(jax.value_and_grad(tp_loss_fn))(sharded)
+    np.testing.assert_allclose(float(tp_loss), float(ref_loss), rtol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+        ),
+        tp_grads, ref_grads_rp,
+    )
