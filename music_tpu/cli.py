@@ -52,19 +52,33 @@ def cmd_wavenet(args):
             train_params=tp,
         )
     else:
-        from music_tpu.generate.wavenet_generate import generate
+        from music_tpu.generate.wavenet_generate import generate, generate_batch
         from music_tpu.models.wavenet import WaveNetConfig
 
         p = _load_params(Path(args.params_dir or PARAMS_ROOT / "wavenet"))
         cfg = WaveNetConfig.from_json(p["wavenet_params"])
-        generate(
-            cfg=cfg,
-            checkpoint_dir=args.checkpoint,
-            out_path=args.out,
-            duration=args.duration,
-            sample_mode=args.sample_mode,
-        )
-        print(f"wrote {args.out}")
+        if getattr(args, "num", 1) > 1:
+            # serving path: N streams packed into as few kernels as fit
+            out = Path(args.out)
+            out_dir = out.parent / out.stem if out.suffix == ".wav" else out
+            generate_batch(
+                cfg=cfg,
+                checkpoint_dir=args.checkpoint,
+                n=args.num,
+                out_dir=out_dir,
+                duration=args.duration,
+                sample_mode=args.sample_mode,
+            )
+            print(f"wrote {args.num} wavs to {out_dir}/")
+        else:
+            generate(
+                cfg=cfg,
+                checkpoint_dir=args.checkpoint,
+                out_path=args.out,
+                duration=args.duration,
+                sample_mode=args.sample_mode,
+            )
+            print(f"wrote {args.out}")
 
 
 def cmd_wavenet_ae(args):
@@ -263,6 +277,10 @@ def main(argv=None):
     p.add_argument("--out", default="generated.wav")
     p.add_argument("--duration", type=float, default=10.0)
     p.add_argument("--sample-mode", default="argmax")
+    p.add_argument(
+        "--num", type=int, default=1,
+        help="serve N independent streams (writes N wavs under --out's stem)",
+    )
     p.add_argument("--coordinator", help="multi-host: coordinator host:port")
     p.add_argument("--num-processes", type=int, help="multi-host: world size")
     p.add_argument("--process-id", type=int, help="multi-host: this process's rank")

@@ -124,6 +124,19 @@ class AudioWindows:
             offset += len(clip)
         self.data = np.concatenate(chunks) if chunks else np.zeros((0,), np.int32)
         self.starts = np.asarray(starts, np.int64)
+        self.max_code = int(self.data.max(initial=0))
+
+    def check_vocab(self, quantization_channels: int) -> None:
+        """Fail loudly when the pickled codes exceed the model's µ-law
+        range (e.g. a 256-level np_audio.pkl fed to a Q=64 model) — the
+        silent alternative is out-of-range one-hots/labels and a NaN loss."""
+        if self.max_code >= quantization_channels:
+            raise ValueError(
+                f"dataset contains code {self.max_code} but the model has "
+                f"quantization_channels={quantization_channels}; re-encode "
+                f"the dataset (wavs_to_pickle(..., quantization_channels="
+                f"{quantization_channels}))"
+            )
 
     @classmethod
     def from_pickle(cls, path: str | Path, receptive_field: int, window_length: int):

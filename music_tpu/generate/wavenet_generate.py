@@ -113,3 +113,122 @@ def generate(
     audio = np.asarray(mu_law_decode(codes[0], cfg.quantization_channels))
     wavio.write_wav(out_path, audio, sr)
     return audio
+
+
+def generate_batch(
+    *,
+    cfg: wn.WaveNetConfig,
+    params=None,
+    checkpoint_dir: str | Path | None = None,
+    n: int,
+    out_dir: str | Path | None = None,
+    start_pieces: np.ndarray | None = None,
+    sr: int = 16000,
+    duration: float = 10.0,
+    sample_mode: str = "categorical",
+    temperature: float = 1.0,
+    seed: int = 0,
+    dtype=jnp.bfloat16,
+) -> np.ndarray:
+    """Serve ``n`` independent decode streams at once; returns ``[n, T]`` audio.
+
+    The TPU-native serving path the reference never had (its
+    fast_generate.py decodes one stream in 160k Python steps): streams are
+    packed into as few fused-kernel launches as possible — ``n_streams``
+    per sublane tile (8 f32 / 16 bf16) times ``n_stream_groups`` per
+    kernel, bounded by what the ring caches allow in VMEM
+    (:func:`music_tpu.kernels.wavenet_decode_hbm.max_stream_groups`); the
+    HBM-streaming kernel shares one weight stream across all groups.  Off
+    TPU, the whole batch runs as one vmapped ``lax.scan`` program.
+
+    ``start_pieces``: optional ``[n, P]`` µ-law codes (P >= receptive_field
+    + max dilation); defaults to silence.  With ``sample_mode="categorical"``
+    (default — argmax streams from identical primes would be identical),
+    stream i draws from PRNG stream ``seed + chunk``.  When ``out_dir`` is
+    given, writes ``gen_000.wav ...``.  ``dtype`` defaults to bfloat16 —
+    the serving tile carries 16 streams at the same step latency as 8
+    (tiny numeric differences vs f32, docs/DIVERGENCES.md); pass
+    ``jnp.float32`` for the bit-identical-to-f32-scan path.
+    """
+    from music_tpu.kernels import wavenet_decode, wavenet_decode_hbm
+
+    if params is None:
+        if checkpoint_dir is None:
+            raise ValueError("need params or checkpoint_dir")
+        example = wn.init_params(jax.random.PRNGKey(0), cfg)
+        params = ckpt_lib.restore_subtree(checkpoint_dir, example, prefix=".params")
+
+    prime_len = cfg.receptive_field + max(cfg.dilations)
+    if start_pieces is None:
+        start_pieces = np.full(
+            (n, prime_len), cfg.quantization_channels // 2, np.int32
+        )
+    prime = jnp.asarray(start_pieces, jnp.int32)
+    if prime.ndim != 2 or prime.shape[0] != n or prime.shape[1] < prime_len:
+        raise ValueError(f"start_pieces must be [n={n}, >={prime_len}]")
+
+    n_steps = int(duration * sr)
+    on_tpu = jax.default_backend() == "tpu"
+    S = 16 if jnp.dtype(dtype) == jnp.bfloat16 else wavenet_decode.N_STREAMS
+
+    codes_parts = []
+    if not on_tpu:
+        # one batched scan program (interpret-mode Pallas would be slower)
+        codes_parts.append(
+            wn.generate_tokens(
+                params, prime, jax.random.PRNGKey(seed), cfg=cfg,
+                n_steps=n_steps, prime_len=prime.shape[1],
+                sample_mode=sample_mode, temperature=temperature,
+            )
+        )
+    else:
+        # plan: resident multi-group when the weights fit VMEM (lowest
+        # step latency), else HBM-streaming multi-group, else scan
+        res_g = hbm_g = 0
+        try:
+            wavenet_decode._grouping(cfg)
+            res_g = wavenet_decode.max_stream_groups(cfg, S, dtype)
+        except NotImplementedError:
+            pass
+        try:
+            wavenet_decode_hbm._grouping(cfg, wavenet_decode_hbm._row_lanes(cfg))
+            if (
+                wavenet_decode_hbm._post_block(cfg) == 128
+                and cfg.dilation_channels % 8 == 0
+                and not cfg.use_bias
+            ):
+                hbm_g = wavenet_decode_hbm.max_stream_groups(cfg, S, dtype)
+        except NotImplementedError:
+            pass
+        if res_g >= 1:
+            fused, g_max = wavenet_decode.generate_tokens_fused, res_g
+        elif hbm_g >= 1:
+            fused, g_max = wavenet_decode_hbm.generate_tokens_fused_hbm, hbm_g
+        else:
+            fused, g_max = None, 1
+        per_call = S * g_max
+        for c, lo in enumerate(range(0, n, per_call)):
+            chunk = prime[lo : lo + per_call]
+            if fused is not None:
+                g = -(-chunk.shape[0] // S)  # ceil: groups this chunk needs
+                codes = fused(
+                    params, chunk, cfg=cfg, n_steps=n_steps, n_streams=S,
+                    n_stream_groups=g, dtype=dtype, sample_mode=sample_mode,
+                    temperature=temperature, seed=seed + c,
+                )
+            else:  # config no fused kernel supports
+                codes = wn.generate_tokens(
+                    params, chunk, jax.random.PRNGKey(seed + c), cfg=cfg,
+                    n_steps=n_steps, prime_len=chunk.shape[1],
+                    sample_mode=sample_mode, temperature=temperature,
+                )
+            codes_parts.append(codes)
+
+    codes = jnp.concatenate(codes_parts, axis=0)[:n]
+    audio = np.asarray(mu_law_decode(codes, cfg.quantization_channels))
+    if out_dir is not None:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            wavio.write_wav(out_dir / f"gen_{i:03d}.wav", audio[i], sr)
+    return audio

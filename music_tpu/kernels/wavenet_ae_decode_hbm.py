@@ -50,23 +50,24 @@ def _post_block(cfg: WaveNetAEConfig) -> int:
 
 def _ae_kernel_hbm(
     # VMEM inputs
-    cur0_ref,        # [S, Q]
-    prev0_ref,       # [S, Q]
+    cur0_ref,        # [G*S, Q]
+    prev0_ref,       # [G*S, Q]
     ecur_ref,        # [Q, Cr]
     eprev_ref,       # [Q, Cr]
     # HBM (ANY) inputs
-    ring_init_hbm,   # [sum(d_g), S, W]
+    ring_init_hbm,   # [G*sum(d_g), S, W]
     gate_hbm,        # [L, W + Cr, 2Cd]
     proj_hbm,        # [L, Cd, Crp + Cs]
     post_hbm,        # [Cs, Cs + Q]
-    condfg_hbm,      # [F, S, L*2Cd]
-    condpost_hbm,    # [F, S, Cs]
-    out_ref,         # [(T//128)*S, 128] i32
+    condfg_hbm,      # [F, G*S, L*2Cd]
+    condpost_hbm,    # [F, G*S, Cs]
+    out_ref,         # [(T//128)*G*S, 128] i32
     *scratch,
     cfg: WaveNetAEConfig,
     total: int,
     t0_frame_offset: int,
     F: int,
+    n_stream_groups: int,
     dtype,
 ):
     L = cfg.n_blocks
@@ -77,6 +78,8 @@ def _ae_kernel_hbm(
         cfg.quantization_channel,
     )
     S = N_STREAMS
+    G = n_stream_groups  # independent serving groups sharing the weight +
+    # conditioning stream (see kernels/wavenet_decode_hbm.py)
     NB = 4
     pool = cfg.en_pool_kernel_size
     W = _row_lanes(cfg)
@@ -125,36 +128,46 @@ def _ae_kernel_hbm(
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
 
     # boot: ring caches from HBM, layer pipeline warm-up, first cond rows
-    for g, (d, _) in enumerate(groups):
-        init_dma = pltpu.make_async_copy(
-            ring_init_hbm.at[pl.ds(ring_base[g], d)], rings[g], gate_sem.at[0]
-        )
-        init_dma.start()
-        init_dma.wait()
+    n_tiles = sum(d for d, _ in groups)
+    for sg in range(G):
+        for g, (d, _) in enumerate(groups):
+            init_dma = pltpu.make_async_copy(
+                ring_init_hbm.at[pl.ds(sg * n_tiles + ring_base[g], d)],
+                rings[g].at[pl.ds(sg * d, d)],
+                gate_sem.at[0],
+            )
+            init_dma.start()
+            init_dma.wait()
     for i0 in range(min(NB - 1, L)):
         gate_dma(i0 % NB, i0).start()
         proj_dma(i0 % NB, i0).start()
     refresh_cond(0)
 
     def step(t, carry):
-        prev_oh, cur_oh, out_row = carry
+        prev_oh, cur_oh, out_row = carry  # tuples of G per-group arrays
 
         @pl.when(jnp.logical_and(t > 0, (t + t0_frame_offset) % pool == 0))
         def _():
             refresh_cond(t)
 
-        x = jnp.dot(cur_oh, ecur_ref[:], preferred_element_type=jnp.float32)
-        x = (x + jnp.dot(prev_oh, eprev_ref[:], preferred_element_type=jnp.float32)).astype(dtype)
+        x = [
+            (
+                jnp.dot(cur_oh[sg], ecur_ref[:], preferred_element_type=jnp.float32)
+                + jnp.dot(prev_oh[sg], eprev_ref[:], preferred_element_type=jnp.float32)
+            ).astype(dtype)
+            for sg in range(G)
+        ]
 
-        taps = []
         slots = []
         for g, (d, layers) in enumerate(groups):
-            slot = t % d if d > 1 else 0
-            slots.append(slot)
-            taps.append(rings[g][pl.ds(slot, 1)][0])
+            slots.append(t % d if d > 1 else 0)
+        taps = [
+            [rings[g][pl.ds(sg * d + slots[g], 1)][0] for g, (d, _) in enumerate(groups)]
+            for sg in range(G)
+        ]
 
-        xs = []
-        skip_acc = jnp.zeros((S, Cs), jnp.float32)
+        xs = [[] for _ in range(G)]
+        skip_acc = [jnp.zeros((S, Cs), jnp.float32) for _ in range(G)]
         for i in range(L):
             slot = i % NB
             nxt = i + NB - 1
@@ -166,38 +179,41 @@ def _ae_kernel_hbm(
             gate_dma(slot, i).wait()
             proj_dma(slot, i).wait()
 
-            tap = taps[layer_group[i]]
-            xs.append(x)
-            fg = jnp.dot(tap, gate_buf[slot, :W], preferred_element_type=jnp.float32)
-            fg = fg + jnp.dot(x, gate_buf[slot, W:], preferred_element_type=jnp.float32)
-            fg = fg + cond_fg_cur[:, i * 2 * Cd : (i + 1) * 2 * Cd]
-            # reference gate split: gate first half, filter second
-            z = (jnp.tanh(fg[:, Cd:]) * jax.nn.sigmoid(fg[:, :Cd])).astype(dtype)
-            x = (x + jnp.dot(z, proj_buf[slot, :, :Cr], preferred_element_type=jnp.float32)).astype(dtype)
-            skip_acc = skip_acc + jnp.dot(
-                z, proj_buf[slot, :, Crp:], preferred_element_type=jnp.float32
-            )
+            for sg in range(G):
+                tap = taps[sg][layer_group[i]]
+                xs[sg].append(x[sg])
+                fg = jnp.dot(tap, gate_buf[slot, :W], preferred_element_type=jnp.float32)
+                fg = fg + jnp.dot(x[sg], gate_buf[slot, W:], preferred_element_type=jnp.float32)
+                fg = fg + cond_fg_cur[pl.ds(sg * S, S), i * 2 * Cd : (i + 1) * 2 * Cd]
+                # reference gate split: gate first half, filter second
+                z = (jnp.tanh(fg[:, Cd:]) * jax.nn.sigmoid(fg[:, :Cd])).astype(dtype)
+                x[sg] = (x[sg] + jnp.dot(z, proj_buf[slot, :, :Cr], preferred_element_type=jnp.float32)).astype(dtype)
+                skip_acc[sg] = skip_acc[sg] + jnp.dot(
+                    z, proj_buf[slot, :, Crp:], preferred_element_type=jnp.float32
+                )
 
         for g, (d, layers) in enumerate(groups):
-            pieces = [xs[i] for i in layers]
             pad = W - len(layers) * Cr
-            if pad:
-                pieces.append(jnp.zeros((S, pad), dtype))
-            rings[g][pl.ds(slots[g], 1)] = jnp.concatenate(pieces, axis=1)[None]
+            for sg in range(G):
+                pieces = [xs[sg][i] for i in layers]
+                if pad:
+                    pieces.append(jnp.zeros((S, pad), dtype))
+                rings[g][pl.ds(sg * d + slots[g], 1)] = jnp.concatenate(pieces, axis=1)[None]
 
         # blocked post1 with the conditioning bias folded in, then post2
-        h = jax.nn.relu(skip_acc).astype(dtype)
-        h2_blocks = []
+        h = [jax.nn.relu(skip_acc[sg]).astype(dtype) for sg in range(G)]
+        h2_blocks = [[] for _ in range(G)]
         for j in range(n_p1):
             slot = j % 2
             if j + 1 < n_post:
                 post_dma((j + 1) % 2, j + 1).start()
             post_dma(slot, j).wait()
-            blk = jnp.dot(h, post_buf[slot], preferred_element_type=jnp.float32)
-            blk = blk + cond_post_cur[:, j * PB : (j + 1) * PB]
-            h2_blocks.append(jax.nn.relu(blk).astype(dtype))
-        h2 = jnp.concatenate(h2_blocks, axis=1)
-        logit_blocks = []
+            for sg in range(G):
+                blk = jnp.dot(h[sg], post_buf[slot], preferred_element_type=jnp.float32)
+                blk = blk + cond_post_cur[pl.ds(sg * S, S), j * PB : (j + 1) * PB]
+                h2_blocks[sg].append(jax.nn.relu(blk).astype(dtype))
+        h2 = [jnp.concatenate(h2_blocks[sg], axis=1) for sg in range(G)]
+        logit_blocks = [[] for _ in range(G)]
         for j2 in range(n_p2):
             j = n_p1 + j2
             slot = j % 2
@@ -210,25 +226,37 @@ def _ae_kernel_hbm(
                         gate_dma(i0 % NB, i0).start()
                         proj_dma(i0 % NB, i0).start()
             post_dma(slot, j).wait()
-            logit_blocks.append(
-                jnp.dot(h2, post_buf[slot], preferred_element_type=jnp.float32)
-            )
-        logits = jnp.concatenate(logit_blocks, axis=1)
+            for sg in range(G):
+                logit_blocks[sg].append(
+                    jnp.dot(h2[sg], post_buf[slot], preferred_element_type=jnp.float32)
+                )
+        logits = [jnp.concatenate(logit_blocks[sg], axis=1) for sg in range(G)]
 
-        next_tok = jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)
-        next_oh = (q_iota == next_tok).astype(dtype)
-        out_row = jnp.where(lane_iota == (t % 128), next_tok, out_row)
+        next_tok = [
+            jnp.argmax(logits[sg], axis=1, keepdims=True).astype(jnp.int32)
+            for sg in range(G)
+        ]
+        next_oh = tuple((q_iota == next_tok[sg]).astype(dtype) for sg in range(G))
+        out_row = tuple(
+            jnp.where(lane_iota == (t % 128), next_tok[sg], out_row[sg])
+            for sg in range(G)
+        )
 
         @pl.when(t % 128 == 127)
         def _():
-            base = pl.multiple_of((t // 128) * S, 8)
-            out_ref[pl.ds(base, S), :] = out_row
+            for sg in range(G):
+                base = pl.multiple_of((t // 128) * (G * S) + sg * S, 8)
+                out_ref[pl.ds(base, S), :] = out_row[sg]
 
         return cur_oh, next_oh, out_row
 
     jax.lax.fori_loop(
         0, total, step,
-        (prev0_ref[:], cur0_ref[:], jnp.zeros((S, 128), jnp.int32)),
+        (
+            tuple(prev0_ref[pl.ds(sg * S, S)] for sg in range(G)),
+            tuple(cur0_ref[pl.ds(sg * S, S)] for sg in range(G)),
+            tuple(jnp.zeros((S, 128), jnp.int32) for _ in range(G)),
+        ),
     )
 
 
@@ -260,7 +288,10 @@ def _build_hbm_weights(params: dict, cfg: WaveNetAEConfig, dtype):
     }
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret", "dtype"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "interpret", "dtype", "n_stream_groups"),
+)
 def generate_tokens_fused_hbm(
     params: dict,
     encoding: jax.Array,
@@ -269,19 +300,26 @@ def generate_tokens_fused_hbm(
     cfg: WaveNetAEConfig,
     n_steps: int,
     interpret: bool = False,
+    n_stream_groups: int = 1,
     dtype=jnp.float32,
 ) -> jax.Array:
     """Conditioned decode with HBM-resident weights + conditioning tables —
     same contract as :func:`kernels.wavenet_ae_decode.generate_tokens_fused`
-    but with no VMEM ceiling on model size or generation length."""
+    but with no VMEM ceiling on model size or generation length.
+
+    ``n_stream_groups=G`` serves ``G * 8`` independent utterances from one
+    kernel; the weight + conditioning stream is shared across groups (see
+    kernels/wavenet_decode_hbm.py)."""
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
     B, P = prime.shape
+    G = n_stream_groups
     S = N_STREAMS
-    if B > S:
-        raise ValueError(f"at most {S} streams, got {B}")
-    if B < S:
-        pad = S - B
+    S_total = G * S
+    if B > S_total:
+        raise ValueError(f"at most {S_total} streams, got {B}")
+    if B < S_total:
+        pad = S_total - B
         prime = jnp.concatenate([prime, jnp.tile(prime[-1:], (pad, 1))], axis=0)
         encoding = jnp.concatenate(
             [encoding, jnp.tile(encoding[-1:], (pad, 1, 1))], axis=0
@@ -299,34 +337,43 @@ def generate_tokens_fused_hbm(
     groups, _ = _grouping(cfg, W)
 
     ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, encoding, cfg, W)
+    if G > 1:
+        # repack [tiles, G*S, W] -> [G*tiles, S, W]: group sg's tiles first
+        n_tiles = ring0.shape[0]
+        ring0 = (
+            ring0.reshape(n_tiles, G, S, W)
+            .swapaxes(0, 1)
+            .reshape(G * n_tiles, S, W)
+        )
     w = _build_hbm_weights(params, cfg, dtype)
     F = encoding.shape[1]
-    # [F, S, C] frame-major tables: one contiguous-row DMA per refresh
+    # [F, G*S, C] frame-major tables: one contiguous-row DMA per refresh
     cond_fg = jnp.einsum("bfw,lwc->fblc", encoding, params["cond_fg"])
-    cond_fg = cond_fg.reshape(F, S, cfg.n_blocks * 2 * Cd)
+    cond_fg = cond_fg.reshape(F, S_total, cfg.n_blocks * 2 * Cd)
     cond_post = jnp.swapaxes(
         jnp.einsum("bfw,wc->bfc", encoding, params["cond_post"]), 0, 1
-    )  # [F, S, Cs]
+    )  # [F, G*S, Cs]
 
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
-        _ae_kernel_hbm, cfg=cfg, total=total, t0_frame_offset=P, F=F, dtype=dtype
+        _ae_kernel_hbm, cfg=cfg, total=total, t0_frame_offset=P, F=F,
+        n_stream_groups=G, dtype=dtype,
     )
     Cr, Cs, Q = cfg.de_residual_channel, cfg.de_skip_channel, cfg.quantization_channel
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(((total // 128) * S, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(((total // 128) * S_total, 128), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
         + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((d, S, W), dtype) for d, _ in groups]
+        scratch_shapes=[pltpu.VMEM((G * d, S, W), dtype) for d, _ in groups]
         + [
             pltpu.VMEM((4, W + Cr, 2 * Cd), dtype),            # gate buffers
             pltpu.VMEM((4, Cd, _round_up(Cr, 128) + Cs), dtype),  # proj buffers
             pltpu.VMEM((2, Cs, PB), dtype),                    # post buffers
-            pltpu.VMEM((S, cfg.n_blocks * 2 * Cd), dtype),     # cond_fg row
-            pltpu.VMEM((S, Cs), dtype),                        # cond_post row
+            pltpu.VMEM((S_total, cfg.n_blocks * 2 * Cd), dtype),  # cond_fg rows
+            pltpu.VMEM((S_total, Cs), dtype),                  # cond_post rows
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -338,6 +385,6 @@ def generate_tokens_fused_hbm(
         ring0.astype(dtype), w["gate"], w["proj"], w["post"],
         cond_fg.astype(dtype), cond_post.astype(dtype),
     )
-    toks = out.reshape(total // 128, S, 128)
-    toks = jnp.swapaxes(toks, 0, 1).reshape(S, total)[:, :n_steps]
+    toks = out.reshape(total // 128, S_total, 128)
+    toks = jnp.swapaxes(toks, 0, 1).reshape(S_total, total)[:, :n_steps]
     return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]

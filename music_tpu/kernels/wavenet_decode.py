@@ -38,6 +38,10 @@ vector loads, so every tensor in the loop is ``[8, lanes]`` — the native
 VMEM (full config: L=40, Cr=Cd=32, Cs=512, Q=256):
 cache sum(d)*8*128*4 = 4.2 MB + fg 1.4 MB + dense 0.7 MB + skip 2.6 MB +
 post 1.5 MB + embeddings 0.3 MB + out 4 MB/128k  ≈ 11-14 MB < 16 MB.
+The ring init lives in HBM (``pl.ANY``) and boots the cache by DMA — a
+VMEM init input would double-count against the budget.  Serving depth
+(``n_stream_groups``): one extra ring-cache set per group; the full-size
+model fits two groups (16 f32 / 32 bf16 streams in one kernel).
 """
 
 from __future__ import annotations
@@ -95,11 +99,38 @@ def _grouping(cfg: WaveNetConfig, row_lanes: int = 128):
     return groups, lane_of_layer
 
 
+def max_stream_groups(
+    cfg: WaveNetConfig,
+    n_streams: int = N_STREAMS,
+    dtype=jnp.float32,
+    vmem_budget: int = 14 * 1024 * 1024,
+) -> int:
+    """Serving groups that fit VMEM next to the resident weights.
+
+    Per-group cost: one ring-cache set (``sum(distinct dilations) *
+    n_streams * 128`` elements).  Shared cost: the repacked weights.  The
+    budget leaves ~2 MB of the 16 MB for output tile, one-hots and slack.
+    Returns 0 when the weights alone don't fit (use the HBM kernel).
+    """
+    itemsize = jnp.dtype(dtype).itemsize
+    L, Cr, Cd, Cs, Q = (
+        cfg.n_blocks, cfg.residual_channels, cfg.dilation_channels,
+        cfg.skip_channels, cfg.quantization_channels,
+    )
+    ring_bytes = sum({d for d in cfg.dilations}) * n_streams * 128 * itemsize
+    weight_bytes = (
+        L * (128 * 2 * Cd + Cr * 2 * Cd + Cd * Cr)  # fgp + fgc + dense
+        + L * Cd * Cs + Cs * Cs + Cs * Q            # skip + post1 + post2
+        + 2 * Q * Cr                                # embeddings
+    ) * itemsize
+    return max(0, (vmem_budget - weight_bytes) // ring_bytes)
+
+
 def _decode_kernel(
     # inputs
-    ring_init_ref,   # [sum(d_g), 8, 128] f32 — packed per-group init tiles
-    cur0_ref,        # [8, Q] f32 — one-hot of the first input token (s_0)
-    prev0_ref,       # [8, Q] f32 — one-hot of the last prime token
+    ring_init_hbm,   # ANY [G*sum(d_g), S, 128] — packed init tiles, DMA-booted
+    cur0_ref,        # [G*S, Q] f32 — one-hot of the first input token (s_0)
+    prev0_ref,       # [G*S, Q] f32 — one-hot of the last prime token
     ecur_ref,        # [Q, Cr] f32  (causal tap on the current token)
     eprev_ref,       # [Q, Cr] f32  (causal tap on the previous token)
     fgp_ref,         # [L, 128, 2*Cd] f32 — zero-padded prev-tap weights
@@ -110,12 +141,13 @@ def _decode_kernel(
     post2_ref,       # [Cs, Q] f32
     seed_ref,        # SMEM [1] i32 — PRNG seed (categorical mode)
     # outputs
-    out_ref,         # [(T//128)*S, 128] i32 — block b rows S*b..S*(b+1) = streams
-    # scratch: one shift register per dilation group
-    *rings,          # each [d_g, S, 128]
+    out_ref,         # [(T//128)*G*S, 128] i32 — block b rows G*S*b.. = streams
+    # scratch: one shift register per dilation group (+ boot DMA semaphore)
+    *scratch,        # rings each [G*d_g, S, 128], then one DMA sem
     cfg: WaveNetConfig,
     total: int,
     n_streams: int,
+    n_stream_groups: int,
     dtype,
     sample_mode: str,
     temperature: float,
@@ -128,15 +160,32 @@ def _decode_kernel(
         cfg.quantization_channels,
     )
     S = n_streams
+    G = n_stream_groups  # independent serving groups: each keeps its own
+    # legal [S, 128] tile + ring cache; the G dependency chains are
+    # independent, so their matmuls interleave in the pipeline — total
+    # throughput scales with G at slowly-growing step latency (the path
+    # past the compiler's 16-stream sublane-tile ceiling)
     groups, lane_of_layer = _grouping(cfg)
     layer_group = {}
     for g, (d, layers) in enumerate(groups):
         for i in layers:
             layer_group[i] = g
     ring_base = list(np.cumsum([0] + [d for d, _ in groups[:-1]]))
+    rings, boot_sem = scratch[:-1], scratch[-1]
 
-    for g, (d, _) in enumerate(groups):
-        rings[g][:] = ring_init_ref[ring_base[g] : ring_base[g] + d]
+    # boot the ring caches by DMA from HBM: a VMEM-resident init input the
+    # same size as the ring scratch would double-count against the 16 MB
+    # budget (CLAUDE.md Mosaic rules)
+    n_tiles = sum(d for d, _ in groups)
+    for sg in range(G):
+        for g, (d, _) in enumerate(groups):
+            boot = pltpu.make_async_copy(
+                ring_init_hbm.at[pl.ds(sg * n_tiles + ring_base[g], d)],
+                rings[g].at[pl.ds(sg * d, d)],
+                boot_sem,
+            )
+            boot.start()
+            boot.wait()
 
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (S, Q), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
@@ -157,65 +206,83 @@ def _decode_kernel(
         return jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)
 
     def step(t, carry):
-        prev_oh, cur_oh, out_row = carry  # [S,Q] dtype, [S,Q] dtype, [S,128] i32
+        prev_oh, cur_oh, out_row = carry  # tuples of G per-group arrays
 
-        x = jnp.dot(cur_oh, ecur_ref[:], preferred_element_type=jnp.float32)
-        x = (x + jnp.dot(prev_oh, eprev_ref[:], preferred_element_type=jnp.float32)).astype(dtype)
+        x = [
+            (
+                jnp.dot(cur_oh[sg], ecur_ref[:], preferred_element_type=jnp.float32)
+                + jnp.dot(prev_oh[sg], eprev_ref[:], preferred_element_type=jnp.float32)
+            ).astype(dtype)
+            for sg in range(G)
+        ]
 
-        taps = []
         slots = []
         for g, (d, layers) in enumerate(groups):
-            slot = t % d if d > 1 else 0
-            slots.append(slot)
-            taps.append(rings[g][pl.ds(slot, 1)][0])  # [8, 128] = x_i[t - d]
+            slots.append(t % d if d > 1 else 0)
+        taps = [
+            [rings[g][pl.ds(sg * d + slots[g], 1)][0] for g, (d, _) in enumerate(groups)]
+            for sg in range(G)
+        ]  # [G][dilation group] -> [S, 128] = x_i[t - d]
 
-        xs = []
-        zs = []
+        xs = [[] for _ in range(G)]
+        zs = [[] for _ in range(G)]
         for i in range(L):
-            tap = taps[layer_group[i]]
-            xs.append(x)
-            # prev-tap via zero-padded weights: the matmul extracts the lanes
-            fg = jnp.dot(tap, fgp_ref[i], preferred_element_type=jnp.float32)
-            fg = fg + jnp.dot(x, fgc_ref[i], preferred_element_type=jnp.float32)
-            z = (jnp.tanh(fg[:, :Cd]) * jax.nn.sigmoid(fg[:, Cd:])).astype(dtype)
-            x = (x + jnp.dot(z, densew_ref[i], preferred_element_type=jnp.float32)).astype(dtype)
-            zs.append(z)
+            for sg in range(G):
+                tap = taps[sg][layer_group[i]]
+                xs[sg].append(x[sg])
+                # prev-tap via zero-padded weights: the matmul extracts the lanes
+                fg = jnp.dot(tap, fgp_ref[i], preferred_element_type=jnp.float32)
+                fg = fg + jnp.dot(x[sg], fgc_ref[i], preferred_element_type=jnp.float32)
+                z = (jnp.tanh(fg[:, :Cd]) * jax.nn.sigmoid(fg[:, Cd:])).astype(dtype)
+                x[sg] = (x[sg] + jnp.dot(z, densew_ref[i], preferred_element_type=jnp.float32)).astype(dtype)
+                zs[sg].append(z)
 
         # overwrite each group's slot with the current activations
         for g, (d, layers) in enumerate(groups):
-            pieces = [xs[i] for i in layers]
             pad = 128 - len(layers) * Cr
-            if pad:
-                pieces.append(jnp.zeros((S, pad), dtype))
-            new_tile = jnp.concatenate(pieces, axis=1)  # [8, 128]
-            rings[g][pl.ds(slots[g], 1)] = new_tile[None]
+            for sg in range(G):
+                pieces = [xs[sg][i] for i in layers]
+                if pad:
+                    pieces.append(jnp.zeros((S, pad), dtype))
+                new_tile = jnp.concatenate(pieces, axis=1)  # [S, 128]
+                rings[g][pl.ds(sg * d + slots[g], 1)] = new_tile[None]
 
-        z_all = jnp.concatenate(zs, axis=1)  # [S, L*Cd] (layer-major)
-        h = jax.nn.relu(
-            jnp.dot(z_all, skipw_ref[:], preferred_element_type=jnp.float32)
-        ).astype(dtype)
-        h = jax.nn.relu(
-            jnp.dot(h, post1_ref[:], preferred_element_type=jnp.float32)
-        ).astype(dtype)
-        logits = jnp.dot(h, post2_ref[:], preferred_element_type=jnp.float32)  # [S, Q] f32
+        out_row_new = []
+        next_oh = []
+        for sg in range(G):
+            z_all = jnp.concatenate(zs[sg], axis=1)  # [S, L*Cd] (layer-major)
+            h = jax.nn.relu(
+                jnp.dot(z_all, skipw_ref[:], preferred_element_type=jnp.float32)
+            ).astype(dtype)
+            h = jax.nn.relu(
+                jnp.dot(h, post1_ref[:], preferred_element_type=jnp.float32)
+            ).astype(dtype)
+            logits = jnp.dot(h, post2_ref[:], preferred_element_type=jnp.float32)
 
-        next_tok = sample(logits)  # [S, 1]
-        next_oh = (q_iota == next_tok).astype(dtype)  # [S, Q]
-
-        out_row = jnp.where(lane_iota == (t % 128), next_tok, out_row)
+            next_tok = sample(logits)  # [S, 1]
+            next_oh.append((q_iota == next_tok).astype(dtype))  # [S, Q]
+            out_row_new.append(
+                jnp.where(lane_iota == (t % 128), next_tok, out_row[sg])
+            )
+        out_row = tuple(out_row_new)
 
         @pl.when(t % 128 == 127)
         def _():
-            base = pl.multiple_of((t // 128) * S, 8)
-            out_ref[pl.ds(base, S), :] = out_row
+            for sg in range(G):
+                base = pl.multiple_of((t // 128) * (G * S) + sg * S, 8)
+                out_ref[pl.ds(base, S), :] = out_row[sg]
 
-        return cur_oh, next_oh, out_row
+        return cur_oh, tuple(next_oh), out_row
 
     jax.lax.fori_loop(
         0,
         total,
         step,
-        (prev0_ref[:], cur0_ref[:], jnp.zeros((S, 128), jnp.int32)),
+        (
+            tuple(prev0_ref[pl.ds(sg * S, S)] for sg in range(G)),
+            tuple(cur0_ref[pl.ds(sg * S, S)] for sg in range(G)),
+            tuple(jnp.zeros((S, 128), jnp.int32) for _ in range(G)),
+        ),
     )
 
 
@@ -306,7 +373,7 @@ def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig,
     jax.jit,
     static_argnames=(
         "cfg", "n_steps", "interpret", "n_streams", "dtype", "sample_mode",
-        "temperature",
+        "temperature", "n_stream_groups",
     ),
 )
 def generate_tokens_fused(
@@ -317,6 +384,7 @@ def generate_tokens_fused(
     n_steps: int,
     interpret: bool = False,
     n_streams: int = N_STREAMS,
+    n_stream_groups: int = 1,
     dtype=jnp.float32,
     sample_mode: str = "argmax",
     temperature: float = 1.0,
@@ -324,13 +392,19 @@ def generate_tokens_fused(
 ) -> jax.Array:
     """Generate ``n_steps`` codes per stream (greedy) after priming.
 
-    ``prime``: ``[B, P]`` int codes with ``B <= n_streams``; rows are
-    independent streams (padded internally).  Returns ``[B, n_steps]``.
-    ``dtype=jnp.bfloat16`` with ``n_streams=16`` uses the native bf16 tile
-    and single-pass MXU matmuls (small numeric differences vs f32).
-    ``sample_mode="categorical"`` draws Gumbel-max samples at
-    ``temperature`` using the on-chip PRNG (TPU only — no interpret-mode
-    lowering exists for the PRNG primitives).
+    ``prime``: ``[B, P]`` int codes with ``B <= n_stream_groups*n_streams``;
+    rows are independent streams (padded internally).  Returns
+    ``[B, n_steps]``.  ``dtype=jnp.bfloat16`` with ``n_streams=16`` uses
+    the native bf16 tile and single-pass MXU matmuls (small numeric
+    differences vs f32).  ``sample_mode="categorical"`` draws Gumbel-max
+    samples at ``temperature`` using the on-chip PRNG (TPU only — no
+    interpret-mode lowering exists for the PRNG primitives).
+
+    ``n_stream_groups=G`` serves ``G * n_streams`` independent streams
+    from one kernel: each group keeps its own legal sublane tile and ring
+    cache (one extra ring-cache set of VMEM per group — the full-size
+    model fits G=2), and the G independent dependency chains interleave,
+    so total throughput grows far faster than step latency.
 
     Semantics match :func:`music_tpu.models.wavenet.generate_tokens` with
     ``sample_mode='argmax'`` (verified in tests/test_pallas_decode.py).
@@ -339,33 +413,46 @@ def generate_tokens_fused(
         raise NotImplementedError("fused decode assumes filter_width=2")
     B = prime.shape[0]
     S = n_streams
-    if B > S:
-        raise ValueError(f"at most {S} streams, got {B}")
-    if B < S:
+    G = n_stream_groups
+    S_total = G * S
+    if B > S_total:
+        raise ValueError(f"at most {S_total} streams, got {B}")
+    if B < S_total:
         prime = jnp.concatenate(
-            [prime, jnp.tile(prime[-1:], (S - B, 1))], axis=0
+            [prime, jnp.tile(prime[-1:], (S_total - B, 1))], axis=0
         )
     groups, _ = _grouping(cfg)
 
     ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, cfg)
+    if G > 1:
+        # repack [tiles, G*S, 128] -> [G*tiles, S, 128]: group sg's tiles first
+        n_tiles = ring0.shape[0]
+        ring0 = (
+            ring0.reshape(n_tiles, G, S, 128)
+            .swapaxes(0, 1)
+            .reshape(G * n_tiles, S, 128)
+        )
     ring0, cur0, prev0 = ring0.astype(dtype), cur0.astype(dtype), prev0.astype(dtype)
     w = _build_kernel_weights(params, cfg, dtype)
 
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
-        _decode_kernel, cfg=cfg, total=total, n_streams=S, dtype=dtype,
+        _decode_kernel, cfg=cfg, total=total, n_streams=S,
+        n_stream_groups=G, dtype=dtype,
         sample_mode=sample_mode, temperature=temperature,
     )
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(((total // 128) * S, 128), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11
+        out_shape=jax.ShapeDtypeStruct(((total // 128) * S_total, 128), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((d, S, 128), dtype) for d, _ in groups
-        ],
+            pltpu.VMEM((G * d, S, 128), dtype) for d, _ in groups
+        ]
+        + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(
         ring0, cur0, prev0,
@@ -374,8 +461,8 @@ def generate_tokens_fused(
         jnp.asarray([seed], jnp.int32),
     )
     # out rows: block b holds streams at times [128b, 128(b+1))
-    toks = out.reshape(total // 128, S, 128)
-    toks = jnp.swapaxes(toks, 0, 1).reshape(S, total)[:, :n_steps]
+    toks = out.reshape(total // 128, S_total, 128)
+    toks = jnp.swapaxes(toks, 0, 1).reshape(S_total, total)[:, :n_steps]
     # the kernel consumes s_0 at step 0 and emits s_1..; the generated stream
     # starts at s_0
     return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]

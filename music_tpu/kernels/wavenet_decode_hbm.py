@@ -16,10 +16,13 @@ post block's compute overlaps the *next* step's layer-0 prefetch, so the
 DMA engine never drains.
 
 Weight packing (built host-side once):
-- gate pack  ``[L, W + Cr, 2Cd]`` — rows [0,W): the zero-padded prev-tap
-  weights (the matmul extracts the layer's lanes from its group ring row,
-  W = round_up(max_group_layers * Cr, 128) lifts the resident kernel's
-  128-lane group limit); rows [W, W+Cr): the current-tap weights.
+- gate pack  ``[L, W + Cr, round_up(2Cd, 128)]`` — rows [0,W): the
+  zero-padded prev-tap weights (the matmul extracts the layer's lanes from
+  its group ring row, W = round_up(max_group_layers * Cr, 128) lifts the
+  resident kernel's 128-lane group limit); rows [W, W+Cr): the current-tap
+  weights.  The minor dim is zero-padded to a full 128-lane boundary so the
+  per-layer DMA'd slice stays lane-aligned even for narrow models (the
+  full-size shipped config has 2Cd = 64).
 - proj pack  ``[L, Cd, Crp + Cs]`` — dense (zero-padded to a 128-lane
   boundary Crp, keeping every DMA'd slice lane-aligned) ‖ skip projections.
 - post pack  ``[Cs, Cs + Q]``     — post1 ‖ post2, streamed in PB-lane
@@ -62,25 +65,53 @@ def _post_block(cfg: WaveNetConfig) -> int:
     return min(128, math.gcd(Cs, Q))
 
 
+def max_stream_groups(
+    cfg: WaveNetConfig,
+    n_streams: int = N_STREAMS,
+    dtype=jnp.float32,
+    vmem_budget: int = 14 * 1024 * 1024,
+) -> int:
+    """How many serving groups fit VMEM for this config.
+
+    The dominant per-group cost is the ring-cache set
+    (``sum(distinct dilations) * n_streams * row_lanes`` elements); the
+    shared cost is the gate/proj/post double buffers.  The budget leaves
+    ~2 MB of the 16 MB VMEM for the output tile, one-hots and embeddings.
+    """
+    itemsize = jnp.dtype(dtype).itemsize
+    W = _row_lanes(cfg)
+    distinct = sorted({d for d in cfg.dilations})
+    ring_bytes = sum(distinct) * n_streams * W * itemsize
+    Cr, Cd, Cs = cfg.residual_channels, cfg.dilation_channels, cfg.skip_channels
+    Cg = _round_up(2 * Cd, 128)
+    shared = (
+        4 * (W + Cr) * Cg                      # gate buffers
+        + 4 * Cd * (_round_up(Cr, 128) + Cs)   # proj buffers
+        + 2 * Cs * _post_block(cfg)            # post buffers
+    ) * itemsize
+    return max(0, (vmem_budget - shared) // ring_bytes)
+
+
 def _decode_kernel_hbm(
     # VMEM inputs
-    cur0_ref,        # [S, Q] — one-hot of the first input token
-    prev0_ref,       # [S, Q] — one-hot of the last prime token
+    cur0_ref,        # [G*S, Q] — one-hot of the first input token
+    prev0_ref,       # [G*S, Q] — one-hot of the last prime token
     ecur_ref,        # [Q, Cr]
     eprev_ref,       # [Q, Cr]
     # HBM (ANY) inputs — streamed
-    ring_init_hbm,   # [sum(d_g), S, W] — packed per-group init tiles
+    ring_init_hbm,   # [G*sum(d_g), S, W] — packed per-(stream-group, dilation-group) init tiles
     gate_hbm,        # [L, W + Cr, 2Cd]
     proj_hbm,        # [L, Cd, Cr + Cs]
     post_hbm,        # [Cs, Cs + Q]
     seed_ref,        # SMEM [1] i32
     # output
-    out_ref,         # [(T//128)*S, 128] i32
+    out_ref,         # [(T//128)*G*S, 128] i32
     # scratch
     *scratch,        # rings per group, gate/proj/post double buffers, 3 DMA sems
     cfg: WaveNetConfig,
     total: int,
     n_streams: int,
+    n_stream_groups: int,
     dtype,
     sample_mode: str,
     temperature: float,
@@ -93,9 +124,16 @@ def _decode_kernel_hbm(
         cfg.quantization_channels,
     )
     S = n_streams
+    G = n_stream_groups  # independent S-stream serving groups sharing the
+    # weight stream: each keeps its own legal [S, 128·k] tile + ring cache;
+    # per-layer weights are DMA'd ONCE and used by all G groups, so the
+    # bandwidth-bound step cost is amortized G ways and the G independent
+    # dependency chains hide each other's MXU latency (the compiler rejects
+    # sublane tiles wider than 16 streams — this is the serving-depth path)
     NB = 4   # layer-weight buffer slots; prefetch depth NB-1 hides DMA latency
     W = _row_lanes(cfg)
     Crp = _round_up(Cr, 128)  # dense block padded to a lane boundary
+    Cg = _round_up(2 * Cd, 128)  # gate-pack minor dim, lane-aligned
     PB = _post_block(cfg)
     n_p1, n_p2 = Cs // PB, Q // PB
     n_post = n_p1 + n_p2
@@ -143,32 +181,47 @@ def _decode_kernel_hbm(
 
     # boot: DMA the ring-cache init from HBM (a VMEM-resident init input
     # would double the cache footprint and blow the 16 MB budget), then
-    # warm up layer 0's weights for step 0
-    for g, (d, _) in enumerate(groups):
-        init_dma = pltpu.make_async_copy(
-            ring_init_hbm.at[pl.ds(ring_base[g], d)], rings[g], gate_sem.at[0]
-        )
-        init_dma.start()
-        init_dma.wait()
+    # warm up layer 0's weights for step 0.  Stream group sg's dilation
+    # group g occupies rows [sg*d_g, (sg+1)*d_g) of rings[g], and rows
+    # [sg*sum(d) + ring_base[g], ...) of the packed init.
+    n_tiles = sum(d for d, _ in groups)
+    for sg in range(G):
+        for g, (d, _) in enumerate(groups):
+            init_dma = pltpu.make_async_copy(
+                ring_init_hbm.at[pl.ds(sg * n_tiles + ring_base[g], d)],
+                rings[g].at[pl.ds(sg * d, d)],
+                gate_sem.at[0],
+            )
+            init_dma.start()
+            init_dma.wait()
     for i0 in range(min(NB - 1, L)):
         gate_dma(i0 % NB, i0).start()
         proj_dma(i0 % NB, i0).start()
 
     def step(t, carry):
-        prev_oh, cur_oh, out_row = carry
+        prev_oh, cur_oh, out_row = carry  # tuples of G per-group arrays
 
-        x = jnp.dot(cur_oh, ecur_ref[:], preferred_element_type=jnp.float32)
-        x = (x + jnp.dot(prev_oh, eprev_ref[:], preferred_element_type=jnp.float32)).astype(dtype)
+        x = [
+            (
+                jnp.dot(cur_oh[sg], ecur_ref[:], preferred_element_type=jnp.float32)
+                + jnp.dot(prev_oh[sg], eprev_ref[:], preferred_element_type=jnp.float32)
+            ).astype(dtype)
+            for sg in range(G)
+        ]
 
-        taps = []
+        taps = []   # [G][dilation group] -> [S, W]
         slots = []
         for g, (d, layers) in enumerate(groups):
             slot = t % d if d > 1 else 0
             slots.append(slot)
-            taps.append(rings[g][pl.ds(slot, 1)][0])  # [S, W]
+        for sg in range(G):
+            taps.append([
+                rings[g][pl.ds(sg * d + slots[g], 1)][0]
+                for g, (d, _) in enumerate(groups)
+            ])
 
-        xs = []
-        skip_acc = jnp.zeros((S, Cs), jnp.float32)
+        xs = [[] for _ in range(G)]
+        skip_acc = [jnp.zeros((S, Cs), jnp.float32) for _ in range(G)]
         for i in range(L):
             slot = i % NB
             nxt = i + NB - 1  # keep NB-1 layers in flight
@@ -180,39 +233,44 @@ def _decode_kernel_hbm(
             gate_dma(slot, i).wait()
             proj_dma(slot, i).wait()
 
-            tap = taps[layer_group[i]]
-            xs.append(x)
-            fg = jnp.dot(tap, gate_buf[slot, :W], preferred_element_type=jnp.float32)
-            fg = fg + jnp.dot(x, gate_buf[slot, W:], preferred_element_type=jnp.float32)
-            z = (jnp.tanh(fg[:, :Cd]) * jax.nn.sigmoid(fg[:, Cd:])).astype(dtype)
-            x = (x + jnp.dot(z, proj_buf[slot, :, :Cr], preferred_element_type=jnp.float32)).astype(dtype)
-            skip_acc = skip_acc + jnp.dot(
-                z, proj_buf[slot, :, Crp:], preferred_element_type=jnp.float32
-            )
+            # one weight DMA serves all G groups; the G chains are
+            # independent, so their matmuls interleave in the pipeline
+            for sg in range(G):
+                tap = taps[sg][layer_group[i]]
+                xs[sg].append(x[sg])
+                fg = jnp.dot(tap, gate_buf[slot, :W], preferred_element_type=jnp.float32)
+                fg = fg + jnp.dot(x[sg], gate_buf[slot, W:], preferred_element_type=jnp.float32)
+                z = (jnp.tanh(fg[:, :Cd]) * jax.nn.sigmoid(fg[:, Cd : 2 * Cd])).astype(dtype)
+                x[sg] = (x[sg] + jnp.dot(z, proj_buf[slot, :, :Cr], preferred_element_type=jnp.float32)).astype(dtype)
+                skip_acc[sg] = skip_acc[sg] + jnp.dot(
+                    z, proj_buf[slot, :, Crp:], preferred_element_type=jnp.float32
+                )
 
         for g, (d, layers) in enumerate(groups):
-            pieces = [xs[i] for i in layers]
             pad = W - len(layers) * Cr
-            if pad:
-                pieces.append(jnp.zeros((S, pad), dtype))
-            new_tile = jnp.concatenate(pieces, axis=1)  # [S, W]
-            rings[g][pl.ds(slots[g], 1)] = new_tile[None]
+            for sg in range(G):
+                pieces = [xs[sg][i] for i in layers]
+                if pad:
+                    pieces.append(jnp.zeros((S, pad), dtype))
+                new_tile = jnp.concatenate(pieces, axis=1)  # [S, W]
+                rings[g][pl.ds(sg * d + slots[g], 1)] = new_tile[None]
 
         # post1 column blocks -> h2; post2 column blocks -> logits
-        h = jax.nn.relu(skip_acc).astype(dtype)
-        h2_blocks = []
+        h = [jax.nn.relu(skip_acc[sg]).astype(dtype) for sg in range(G)]
+        h2_blocks = [[] for _ in range(G)]
         for j in range(n_p1):
             slot = j % 2
             if j + 1 < n_post:
                 post_dma((j + 1) % 2, j + 1).start()
             post_dma(slot, j).wait()
-            h2_blocks.append(
-                jax.nn.relu(
-                    jnp.dot(h, post_buf[slot], preferred_element_type=jnp.float32)
-                ).astype(dtype)
-            )
-        h2 = jnp.concatenate(h2_blocks, axis=1)  # [S, Cs]
-        logit_blocks = []
+            for sg in range(G):
+                h2_blocks[sg].append(
+                    jax.nn.relu(
+                        jnp.dot(h[sg], post_buf[slot], preferred_element_type=jnp.float32)
+                    ).astype(dtype)
+                )
+        h2 = [jnp.concatenate(h2_blocks[sg], axis=1) for sg in range(G)]  # [S, Cs]
+        logit_blocks = [[] for _ in range(G)]
         for j2 in range(n_p2):
             j = n_p1 + j2
             slot = j % 2
@@ -226,20 +284,25 @@ def _decode_kernel_hbm(
                         gate_dma(i0 % NB, i0).start()
                         proj_dma(i0 % NB, i0).start()
             post_dma(slot, j).wait()
-            logit_blocks.append(
-                jnp.dot(h2, post_buf[slot], preferred_element_type=jnp.float32)
-            )
-        logits = jnp.concatenate(logit_blocks, axis=1)  # [S, Q] f32
+            for sg in range(G):
+                logit_blocks[sg].append(
+                    jnp.dot(h2[sg], post_buf[slot], preferred_element_type=jnp.float32)
+                )
+        logits = [jnp.concatenate(logit_blocks[sg], axis=1) for sg in range(G)]
 
-        next_tok = sample(logits)  # [S, 1]
-        next_oh = (q_iota == next_tok).astype(dtype)
+        next_tok = [sample(logits[sg]) for sg in range(G)]  # [S, 1] each
+        next_oh = tuple((q_iota == next_tok[sg]).astype(dtype) for sg in range(G))
 
-        out_row = jnp.where(lane_iota == (t % 128), next_tok, out_row)
+        out_row = tuple(
+            jnp.where(lane_iota == (t % 128), next_tok[sg], out_row[sg])
+            for sg in range(G)
+        )
 
         @pl.when(t % 128 == 127)
         def _():
-            base = pl.multiple_of((t // 128) * S, 8)
-            out_ref[pl.ds(base, S), :] = out_row
+            for sg in range(G):
+                base = pl.multiple_of((t // 128) * (G * S) + sg * S, 8)
+                out_ref[pl.ds(base, S), :] = out_row[sg]
 
         return cur_oh, next_oh, out_row
 
@@ -247,7 +310,11 @@ def _decode_kernel_hbm(
         0,
         total,
         step,
-        (prev0_ref[:], cur0_ref[:], jnp.zeros((S, 128), jnp.int32)),
+        (
+            tuple(prev0_ref[pl.ds(sg * S, S)] for sg in range(G)),
+            tuple(cur0_ref[pl.ds(sg * S, S)] for sg in range(G)),
+            tuple(jnp.zeros((S, 128), jnp.int32) for _ in range(G)),
+        ),
     )
 
 
@@ -262,11 +329,12 @@ def _build_hbm_weights(params: dict, cfg: WaveNetConfig, dtype=jnp.float32):
     W = _row_lanes(cfg)
     _, lane_of_layer = _grouping(cfg, W)
 
-    gate = jnp.zeros((L, W + Cr, 2 * Cd), jnp.float32)
+    Cg = _round_up(2 * Cd, 128)  # minor dim lane-aligned for the sliced DMA
+    gate = jnp.zeros((L, W + Cr, Cg), jnp.float32)
     for i in range(L):
         off = lane_of_layer[i]
-        gate = gate.at[i, off : off + Cr].set(params["fg"][i, 0])   # prev tap
-        gate = gate.at[i, W : W + Cr].set(params["fg"][i, 1])        # cur tap
+        gate = gate.at[i, off : off + Cr, : 2 * Cd].set(params["fg"][i, 0])  # prev tap
+        gate = gate.at[i, W : W + Cr, : 2 * Cd].set(params["fg"][i, 1])      # cur tap
     Crp = _round_up(Cr, 128)
     dense_p = jnp.zeros((L, Cd, Crp), jnp.float32).at[:, :, :Cr].set(params["dense"])
     proj = jnp.concatenate([dense_p, params["skip"]], axis=2)  # [L,Cd,Crp+Cs]
@@ -284,7 +352,7 @@ def _build_hbm_weights(params: dict, cfg: WaveNetConfig, dtype=jnp.float32):
     jax.jit,
     static_argnames=(
         "cfg", "n_steps", "interpret", "n_streams", "dtype", "sample_mode",
-        "temperature",
+        "temperature", "n_stream_groups",
     ),
 )
 def generate_tokens_fused_hbm(
@@ -295,6 +363,7 @@ def generate_tokens_fused_hbm(
     n_steps: int,
     interpret: bool = False,
     n_streams: int = N_STREAMS,
+    n_stream_groups: int = 1,
     dtype=jnp.float32,
     sample_mode: str = "argmax",
     temperature: float = 1.0,
@@ -306,6 +375,13 @@ def generate_tokens_fused_hbm(
     but with no VMEM ceiling on model size: use this for scaled configs
     (wide skip/residual channels) whose weights exceed ~12 MB.  Exactness
     vs the lax.scan reference is verified in tests/test_pallas_hbm_decode.py.
+
+    ``n_stream_groups=G`` decodes ``G * n_streams`` independent streams in
+    one kernel: each group keeps its own legal [n_streams, lanes] tile and
+    ring cache while the per-step weight stream (this kernel's roofline) is
+    shared by all groups — the serving-depth answer to the compiler's
+    16-stream sublane-tile ceiling.  VMEM grows by one ring-cache set per
+    extra group (~sum(d)·S·W bytes).
     """
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
@@ -313,30 +389,45 @@ def generate_tokens_fused_hbm(
         raise NotImplementedError("fused decode assumes use_bias=False")
     B = prime.shape[0]
     S = n_streams
-    if B > S:
-        raise ValueError(f"at most {S} streams, got {B}")
-    if B < S:
-        prime = jnp.concatenate([prime, jnp.tile(prime[-1:], (S - B, 1))], axis=0)
+    G = n_stream_groups
+    S_total = G * S
+    if B > S_total:
+        raise ValueError(f"at most {S_total} streams, got {B}")
+    if B < S_total:
+        prime = jnp.concatenate(
+            [prime, jnp.tile(prime[-1:], (S_total - B, 1))], axis=0
+        )
     W = _row_lanes(cfg)
     PB = _post_block(cfg)
     if cfg.skip_channels % PB or cfg.quantization_channels % PB:
         raise NotImplementedError("Cs and Q must share a 128-ish divisor")
-    if not interpret and (PB < 128 or (2 * cfg.dilation_channels) % 128):
-        # hardware DMA'd blocks must be 128-lane aligned in their minor dim;
+    if not interpret and (PB < 128 or cfg.dilation_channels % 8):
+        # hardware DMA'd blocks must be 128-lane aligned in their minor dim
+        # (the gate pack is zero-padded to 128 lanes host-side, so narrow
+        # 2*Cd is fine) and 8-sublane aligned in the second-to-minor;
         # tiny configs are interpret-mode (test) territory anyway
         raise NotImplementedError(
-            "the hardware path needs skip_channels, quantization_channels "
-            "multiples of 128 and dilation_channels a multiple of 64"
+            "the hardware path needs skip_channels and quantization_channels "
+            "multiples of 128 and dilation_channels a multiple of 8"
         )
     groups, _ = _grouping(cfg, W)
 
     ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, cfg, W)
+    if G > 1:
+        # repack [tiles, G*S, W] -> [G*tiles, S, W]: group sg's tiles first
+        n_tiles = ring0.shape[0]
+        ring0 = (
+            ring0.reshape(n_tiles, G, S, W)
+            .swapaxes(0, 1)
+            .reshape(G * n_tiles, S, W)
+        )
     ring0, cur0, prev0 = ring0.astype(dtype), cur0.astype(dtype), prev0.astype(dtype)
     w = _build_hbm_weights(params, cfg, dtype)
 
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
-        _decode_kernel_hbm, cfg=cfg, total=total, n_streams=S, dtype=dtype,
+        _decode_kernel_hbm, cfg=cfg, total=total, n_streams=S,
+        n_stream_groups=G, dtype=dtype,
         sample_mode=sample_mode, temperature=temperature,
     )
     Cr, Cd, Cs, Q = (
@@ -346,14 +437,14 @@ def generate_tokens_fused_hbm(
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(((total // 128) * S, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct(((total // 128) * S_total, 128), jnp.int32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
         + [pl.BlockSpec(memory_space=pl.ANY)] * 4
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((d, S, W), dtype) for d, _ in groups]
+        scratch_shapes=[pltpu.VMEM((G * d, S, W), dtype) for d, _ in groups]
         + [
-            pltpu.VMEM((4, W + Cr, 2 * Cd), dtype),   # gate buffers (NB=4)
+            pltpu.VMEM((4, W + Cr, _round_up(2 * Cd, 128)), dtype),  # gate buffers (NB=4)
             pltpu.VMEM((4, Cd, _round_up(Cr, 128) + Cs), dtype),  # proj buffers
             pltpu.VMEM((2, Cs, PB), dtype),           # post double buffer
             pltpu.SemaphoreType.DMA((4,)),
@@ -366,6 +457,6 @@ def generate_tokens_fused_hbm(
         ring0, w["gate"], w["proj"], w["post"],
         jnp.asarray([seed], jnp.int32),
     )
-    toks = out.reshape(total // 128, S, 128)
-    toks = jnp.swapaxes(toks, 0, 1).reshape(S, total)[:, :n_steps]
+    toks = out.reshape(total // 128, S_total, 128)
+    toks = jnp.swapaxes(toks, 0, 1).reshape(S_total, total)[:, :n_steps]
     return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]

@@ -255,6 +255,7 @@ def train(
         receptive_field=cfg.receptive_field,
         window_length=dataset_params["window_length"],
     )
+    windows.check_vocab(cfg.quantization_channel)
     logger = MetricsLogger(train_params.get("log_dir", "logs/wavenet_ae"))
     ckpt_dir = train_params.get("restore_dir", "checkpoints/wavenet_ae")
 

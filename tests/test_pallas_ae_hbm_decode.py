@@ -54,6 +54,27 @@ def test_ae_hbm_decode_matches_scan():
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
 
 
+def test_ae_hbm_decode_multigroup_matches_scan():
+    """n_stream_groups=2 serves 16 independently-conditioned utterances
+    from one kernel; every stream must match the scan decoder exactly."""
+    params = ae.init_params(jax.random.PRNGKey(6), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 8
+    prime = jax.random.randint(jax.random.PRNGKey(7), (9, P), 0, 32)
+    F = 10
+    encoding = jax.random.normal(jax.random.PRNGKey(8), (9, F, 12)) * 0.3
+
+    ref = ae.generate_tokens(
+        params, encoding, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=80, sample_mode="argmax",
+    )
+    fused = generate_tokens_fused_hbm(
+        params, encoding, prime, cfg=TINY, n_steps=80, interpret=True,
+        n_stream_groups=2,
+    )
+    assert fused.shape == (9, 80)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
 def test_ae_hbm_decode_wide_group_matches_scan():
     import pytest
 

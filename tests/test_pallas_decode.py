@@ -33,6 +33,25 @@ def test_fused_decode_matches_scan():
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
 
 
+def test_fused_decode_multigroup_matches_scan():
+    """n_stream_groups=2 serves 16 streams from one resident kernel; every
+    stream must match the scan reference exactly (serving-depth path)."""
+    params = wn.init_params(jax.random.PRNGKey(4), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 8
+    prime = jax.random.randint(jax.random.PRNGKey(5), (11, P), 0, 32)
+
+    ref = wn.generate_tokens(
+        params, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=140, prime_len=P, sample_mode="argmax",
+    )
+    fused = generate_tokens_fused(
+        params, prime, cfg=TINY, n_steps=140, interpret=True,
+        n_stream_groups=2,
+    )
+    assert fused.shape == (11, 140)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
 def test_fused_decode_nonmultiple_of_128():
     params = wn.init_params(jax.random.PRNGKey(2), TINY)
     P = TINY.receptive_field + max(TINY.dilations)

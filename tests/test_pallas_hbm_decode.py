@@ -74,6 +74,27 @@ def test_hbm_decode_wide_group_matches_scan():
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
 
 
+def test_hbm_decode_multigroup_matches_scan():
+    """n_stream_groups=G serves G*S independent streams from one kernel
+    (the serving-depth path past the 16-stream sublane-tile ceiling):
+    every group's tokens must match the scan reference exactly."""
+    params = wn.init_params(jax.random.PRNGKey(5), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 8
+    # 3 distinct real streams spread across two groups of 8
+    prime = jax.random.randint(jax.random.PRNGKey(6), (10, P), 0, 32)
+
+    ref = wn.generate_tokens(
+        params, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=140, prime_len=P, sample_mode="argmax",
+    )
+    fused = generate_tokens_fused_hbm(
+        params, prime, cfg=TINY, n_steps=140, interpret=True,
+        n_stream_groups=2,
+    )
+    assert fused.shape == (10, 140)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
 def test_hbm_decode_nonmultiple_of_128():
     params = wn.init_params(jax.random.PRNGKey(2), TINY)
     P = TINY.receptive_field + max(TINY.dilations)

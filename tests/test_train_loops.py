@@ -66,6 +66,28 @@ def test_wavenet_train_loop_end_to_end(tmp_path):
     assert int(state2.step) > int(state.step)
 
 
+def test_train_rejects_out_of_range_codes(tmp_path):
+    """A 256-level np_audio.pkl fed to a Q=32 model must raise, not NaN
+    (AudioWindows.check_vocab)."""
+    import pytest
+
+    from music_tpu.train.wavenet_train import train
+
+    audio = _pickle_clips(tmp_path / "np_audio.pkl", q=256)
+    with pytest.raises(ValueError, match="quantization_channels=32"):
+        train(
+            wavenet_params=TINY_WN,
+            dataset_params={
+                "audio_path": str(audio), "window_length": 32, "batch_size": 8,
+            },
+            train_params={
+                "optimizer": "adam", "learning_rate": 1e-3, "num_epochs": 1,
+                "log_dir": str(tmp_path / "logs"),
+                "restore_dir": str(tmp_path / "ckpt"),
+            },
+        )
+
+
 def test_wavenet_ae_train_loop_end_to_end(tmp_path):
     from music_tpu.train.wavenet_ae_train import train
 

@@ -105,6 +105,24 @@ def test_generate_tokens_runs_and_is_deterministic():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+def test_generate_batch_serving_surface(tmp_path):
+    """generate_batch serves n independent streams (scan path off-TPU) and
+    writes one wav per stream — the serving entry the reference never had."""
+    from music_tpu.generate.wavenet_generate import generate_batch
+
+    params = wn.init_params(jax.random.PRNGKey(9), TINY)
+    n = 3
+    audio = generate_batch(
+        cfg=TINY, params=params, n=n, out_dir=tmp_path,
+        duration=48 / 16000, seed=7,
+    )
+    assert audio.shape == (n, 48)
+    for i in range(n):
+        assert (tmp_path / f"gen_{i:03d}.wav").exists()
+    # categorical sampling from per-stream PRNG folds: streams differ
+    assert not np.allclose(audio[0], audio[1]) or not np.allclose(audio[1], audio[2])
+
+
 def test_loss_decreases_on_tiny_problem():
     import optax
 
