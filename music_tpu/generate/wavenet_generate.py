@@ -129,6 +129,7 @@ def generate_batch(
     temperature: float = 1.0,
     seed: int = 0,
     dtype=jnp.bfloat16,
+    mesh=None,
 ) -> np.ndarray:
     """Serve ``n`` independent decode streams at once; returns ``[n, T]`` audio.
 
@@ -149,6 +150,13 @@ def generate_batch(
     the serving tile carries 16 streams at the same step latency as 8
     (tiny numeric differences vs f32, docs/DIVERGENCES.md); pass
     ``jnp.float32`` for the bit-identical-to-f32-scan path.
+
+    ``mesh``: a Mesh with a ``data`` axis scales serving out over chips —
+    rows are sharded over the axis and every device runs its own fused
+    kernel (or scan program) instance via ``shard_map``, with per-device
+    PRNG streams from ``axis_index``.  Chip count multiplies the
+    single-chip serving throughput; no cross-chip communication exists in
+    the decode.  Axes other than ``data`` must have size 1.
     """
     from music_tpu.kernels import wavenet_decode, wavenet_decode_hbm
 
@@ -171,19 +179,12 @@ def generate_batch(
     on_tpu = jax.default_backend() == "tpu"
     S = 16 if jnp.dtype(dtype) == jnp.bfloat16 else wavenet_decode.N_STREAMS
 
-    codes_parts = []
-    if not on_tpu:
-        # one batched scan program (interpret-mode Pallas would be slower)
-        codes_parts.append(
-            wn.generate_tokens(
-                params, prime, jax.random.PRNGKey(seed), cfg=cfg,
-                n_steps=n_steps, prime_len=prime.shape[1],
-                sample_mode=sample_mode, temperature=temperature,
-            )
-        )
-    else:
-        # plan: resident multi-group when the weights fit VMEM (lowest
-        # step latency), else HBM-streaming multi-group, else scan
+    # plan: resident multi-group when the weights fit VMEM (lowest step
+    # latency), else HBM-streaming multi-group, else one batched scan
+    # program (off-TPU the scan path always wins: interpret-mode Pallas
+    # would be slower)
+    fused, g_max = None, 1
+    if on_tpu:
         res_g = hbm_g = 0
         try:
             wavenet_decode._grouping(cfg)
@@ -204,25 +205,62 @@ def generate_batch(
             fused, g_max = wavenet_decode.generate_tokens_fused, res_g
         elif hbm_g >= 1:
             fused, g_max = wavenet_decode_hbm.generate_tokens_fused_hbm, hbm_g
-        else:
-            fused, g_max = None, 1
-        per_call = S * g_max
+
+    def decode_rows(p, rows, seed_scalar):
+        """Decode one device's rows; seed may be a traced scalar."""
+        if fused is not None:
+            return fused(
+                p, rows, cfg=cfg, n_steps=n_steps, n_streams=S,
+                n_stream_groups=-(-rows.shape[0] // S), dtype=dtype,
+                sample_mode=sample_mode, temperature=temperature,
+                seed=seed_scalar,
+            )
+        return wn.generate_tokens(
+            p, rows, jax.random.PRNGKey(seed_scalar), cfg=cfg,
+            n_steps=n_steps, prime_len=rows.shape[1],
+            sample_mode=sample_mode, temperature=temperature,
+        )
+
+    D = mesh.shape.get("data", 1) if mesh is not None else 1
+    codes_parts = []
+    if D > 1:
+        # scale out over chips: rows sharded over `data`, params
+        # replicated, one kernel instance per device, per-device PRNG
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        if np.prod([s for a, s in mesh.shape.items() if a != "data"]) != 1:
+            raise ValueError("serving mesh must be data-only (other axes = 1)")
+        dev_cap = S * g_max if fused is not None else -(-n // D)
+        per_call = D * dev_cap
+        pspecs = jax.tree_util.tree_map(lambda _: P(), params)
+
+        def body(p, rows, seed_arr):
+            idx = jax.lax.axis_index("data")
+            return decode_rows(p, rows, seed_arr[0] + idx)
+
+        sharded = shard_map(
+            body, mesh=mesh,
+            in_specs=(pspecs, P("data", None), P()),
+            out_specs=P("data", None),
+        )
         for c, lo in enumerate(range(0, n, per_call)):
             chunk = prime[lo : lo + per_call]
-            if fused is not None:
-                g = -(-chunk.shape[0] // S)  # ceil: groups this chunk needs
-                codes = fused(
-                    params, chunk, cfg=cfg, n_steps=n_steps, n_streams=S,
-                    n_stream_groups=g, dtype=dtype, sample_mode=sample_mode,
-                    temperature=temperature, seed=seed + c,
+            pad = per_call - chunk.shape[0]
+            if pad:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.tile(chunk[-1:], (pad, 1))], axis=0
                 )
-            else:  # config no fused kernel supports
-                codes = wn.generate_tokens(
-                    params, chunk, jax.random.PRNGKey(seed + c), cfg=cfg,
-                    n_steps=n_steps, prime_len=chunk.shape[1],
-                    sample_mode=sample_mode, temperature=temperature,
-                )
-            codes_parts.append(codes)
+            seed_arr = jnp.asarray([seed * 100_003 + c * D], jnp.int32)
+            codes_parts.append(sharded(params, chunk, seed_arr))
+    elif fused is None:
+        codes_parts.append(decode_rows(params, prime, seed))
+    else:
+        per_call = S * g_max
+        for c, lo in enumerate(range(0, n, per_call)):
+            codes_parts.append(
+                decode_rows(params, prime[lo : lo + per_call], seed + c)
+            )
 
     codes = jnp.concatenate(codes_parts, axis=0)[:n]
     audio = np.asarray(mu_law_decode(codes, cfg.quantization_channels))

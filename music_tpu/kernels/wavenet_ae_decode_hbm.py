@@ -81,6 +81,7 @@ def _ae_kernel_hbm(
     G = n_stream_groups  # independent serving groups sharing the weight +
     # conditioning stream (see kernels/wavenet_decode_hbm.py)
     NB = 4
+    Cg = _round_up(2 * Cd, 128)  # gate-pack minor dim, lane-aligned
     pool = cfg.en_pool_kernel_size
     W = _row_lanes(cfg)
     Crp = _round_up(Cr, 128)
@@ -184,7 +185,7 @@ def _ae_kernel_hbm(
                 xs[sg].append(x[sg])
                 fg = jnp.dot(tap, gate_buf[slot, :W], preferred_element_type=jnp.float32)
                 fg = fg + jnp.dot(x[sg], gate_buf[slot, W:], preferred_element_type=jnp.float32)
-                fg = fg + cond_fg_cur[pl.ds(sg * S, S), i * 2 * Cd : (i + 1) * 2 * Cd]
+                fg = fg[:, : 2 * Cd] + cond_fg_cur[pl.ds(sg * S, S), i * 2 * Cd : (i + 1) * 2 * Cd]
                 # reference gate split: gate first half, filter second
                 z = (jnp.tanh(fg[:, Cd:]) * jax.nn.sigmoid(fg[:, :Cd])).astype(dtype)
                 x[sg] = (x[sg] + jnp.dot(z, proj_buf[slot, :, :Cr], preferred_element_type=jnp.float32)).astype(dtype)
@@ -271,11 +272,12 @@ def _build_hbm_weights(params: dict, cfg: WaveNetAEConfig, dtype):
     Crp = _round_up(Cr, 128)
     _, lane_of_layer = _grouping(cfg, W)
 
-    gate = jnp.zeros((L, W + Cr, 2 * Cd), jnp.float32)
+    Cg = _round_up(2 * Cd, 128)  # minor dim lane-aligned for the sliced DMA
+    gate = jnp.zeros((L, W + Cr, Cg), jnp.float32)
     for i in range(L):
         off = lane_of_layer[i]
-        gate = gate.at[i, off : off + Cr].set(params["fg"][i, 0])
-        gate = gate.at[i, W : W + Cr].set(params["fg"][i, 1])
+        gate = gate.at[i, off : off + Cr, : 2 * Cd].set(params["fg"][i, 0])
+        gate = gate.at[i, W : W + Cr, : 2 * Cd].set(params["fg"][i, 1])
     dense_p = jnp.zeros((L, Cd, Crp), jnp.float32).at[:, :, :Cr].set(params["dense"])
     proj = jnp.concatenate([dense_p, params["skip"]], axis=2)
     post = jnp.concatenate([params["conn1"], params["conn2"]], axis=1)
@@ -329,10 +331,14 @@ def generate_tokens_fused_hbm(
     Cd = cfg.de_dilation_channel
     if cfg.de_skip_channel % PB or cfg.quantization_channel % PB:
         raise NotImplementedError("Cs and Q must share a 128-ish divisor")
-    if not interpret and (PB < 128 or (2 * Cd) % 128):
+    if not interpret and (PB < 128 or Cd % 8 or (cfg.n_blocks * 2 * Cd) % 128):
+        # the gate pack's minor dim is zero-padded to 128 lanes host-side,
+        # so narrow 2*Cd is fine; the cond_fg row slice still needs the
+        # overall table lane-aligned
         raise NotImplementedError(
             "the hardware path needs skip/quantization channels multiples of "
-            "128 and dilation channels a multiple of 64"
+            "128, dilation channels a multiple of 8, and n_blocks*2*Cd a "
+            "multiple of 128"
         )
     groups, _ = _grouping(cfg, W)
 
@@ -369,7 +375,7 @@ def generate_tokens_fused_hbm(
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((G * d, S, W), dtype) for d, _ in groups]
         + [
-            pltpu.VMEM((4, W + Cr, 2 * Cd), dtype),            # gate buffers
+            pltpu.VMEM((4, W + Cr, _round_up(2 * Cd, 128)), dtype),  # gate buffers
             pltpu.VMEM((4, Cd, _round_up(Cr, 128) + Cs), dtype),  # proj buffers
             pltpu.VMEM((2, Cs, PB), dtype),                    # post buffers
             pltpu.VMEM((S_total, cfg.n_blocks * 2 * Cd), dtype),  # cond_fg rows

@@ -344,8 +344,18 @@ def generate_tokens(
             sampled = gumbel_argmax(k, logits / temperature)
         return (cache, sampled), sampled
 
+    # zero-valued but VARYING-typed initial carry: under shard_map with
+    # sharded prime rows / a per-device key (serving scale-out,
+    # generate_batch(mesh=...)) the scan outputs are device-varying, so
+    # every carry leaf's init must carry the varying-axis type or the
+    # scan rejects the carry (the jax 0.9 vma rule; same trick as
+    # models/seqgan.py).  x % 1 is constant 0 — it only transfers the
+    # type, from whichever of (key, prime) is varying.
+    kd = key if key.dtype == jnp.uint32 else jax.random.key_data(key)
+    jitter = ((kd.ravel()[0] % 1) + (prime.ravel()[0] % 1)).astype(jnp.int32)
+    cache = jax.tree_util.tree_map(lambda x: x + jitter.astype(x.dtype), cache)
     (_, _), samples = jax.lax.scan(
-        step, (cache, jnp.zeros((B,), jnp.int32)), jnp.arange(total)
+        step, (cache, jnp.zeros((B,), jnp.int32) + jitter), jnp.arange(total)
     )
     # samples[i] is the prediction after consuming input i; the generated
     # continuation is the last n_steps of them
