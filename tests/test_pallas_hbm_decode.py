@@ -10,7 +10,9 @@ import pytest
 
 from music_tpu.kernels.wavenet_decode import generate_tokens_fused
 from music_tpu.kernels.wavenet_decode_hbm import (
+    _build_hbm_weights,
     _row_lanes,
+    dequantized_params,
     generate_tokens_fused_hbm,
 )
 from music_tpu.models import wavenet as wn
@@ -116,6 +118,66 @@ def test_hbm_decode_bf16_16_stream_interpret():
     )
     assert out.shape == (3, 20)
     assert (out >= 0).all() and (out < 32).all()
+
+
+def test_hbm_decode_int8_matches_dequantized_scan():
+    """weight_dtype=int8 streams weight-only-quantized packs; the exact
+    reference is the scan decoder run on the dequantized pytree."""
+    params = wn.init_params(jax.random.PRNGKey(0), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 16
+    prime = jax.random.randint(jax.random.PRNGKey(1), (1, P), 0, 32)
+
+    dq = dequantized_params(params, TINY)
+    # quantization must actually coarsen the weights...
+    assert not np.allclose(np.asarray(dq["fg"]), np.asarray(params["fg"]))
+    # ...and be idempotent: requantizing the dequantized pytree reproduces
+    # the same int8 packs (so priming from dq == priming from params
+    # modulo the prime-state convs).
+    w0 = _build_hbm_weights(params, TINY, weight_dtype=jnp.int8)
+    w1 = _build_hbm_weights(dq, TINY, weight_dtype=jnp.int8)
+    np.testing.assert_array_equal(np.asarray(w0["gate"]), np.asarray(w1["gate"]))
+    np.testing.assert_array_equal(np.asarray(w0["proj"]), np.asarray(w1["proj"]))
+    np.testing.assert_array_equal(np.asarray(w0["post"]), np.asarray(w1["post"]))
+
+    ref = wn.generate_tokens(
+        dq, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=150, prime_len=P, sample_mode="argmax",
+    )
+    fused = generate_tokens_fused_hbm(
+        dq, prime, cfg=TINY, n_steps=150, interpret=True,
+        weight_dtype=jnp.int8,
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+def test_hbm_decode_int8_wide_multigroup():
+    """int8 weights compose with wide dilation groups, bf16 activations,
+    and multi-group serving."""
+    params = wn.init_params(jax.random.PRNGKey(3), WIDE)
+    P = WIDE.receptive_field + max(WIDE.dilations) + 4
+    prime = jax.random.randint(jax.random.PRNGKey(4), (5, P), 0, 32)
+
+    dq = dequantized_params(params, WIDE)
+    ref = wn.generate_tokens(
+        dq, prime, jax.random.PRNGKey(0),
+        cfg=WIDE, n_steps=60, prime_len=P, sample_mode="argmax",
+    )
+    # prime from dq so the ring-init convs match the scan reference exactly
+    # (idempotent requantization: dq's packs == params' packs, asserted in
+    # test_hbm_decode_int8_matches_dequantized_scan)
+    fused = generate_tokens_fused_hbm(
+        dq, prime, cfg=WIDE, n_steps=60, interpret=True,
+        weight_dtype=jnp.int8, n_stream_groups=2,
+    )
+    assert fused.shape == (5, 60)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+    out16 = generate_tokens_fused_hbm(
+        params, prime, cfg=WIDE, n_steps=20, interpret=True,
+        n_streams=16, dtype=jnp.bfloat16, weight_dtype=jnp.int8,
+    )
+    assert out16.shape == (5, 20)
+    assert (out16 >= 0).all() and (out16 < 32).all()
 
 
 def test_generate_autoselects_hbm_kernel(tmp_path):
