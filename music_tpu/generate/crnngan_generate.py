@@ -25,11 +25,20 @@ def generate(
     length: int | None = None,
     seed: int = 0,
     ticks_per_quarter_note: int = 384,
+    meta=None,
 ) -> np.ndarray:
     """Generate one song and write it as a MIDI file; returns the raw
-    [T, 4] event array (delta_tick, length, freq, velocity)."""
+    [T, 4] event array (delta_tick, length, freq, velocity).
+
+    ``meta``: optional [meta_dim] genre/composer one-hot row conditioning
+    the generator (cfg.meta_dim > 0)."""
+    if meta is not None:
+        meta = jax.numpy.asarray(meta, jax.numpy.float32).reshape(1, -1)
     events = np.asarray(
-        cg.generate(g_params, jax.random.PRNGKey(seed), cfg, batch=1, length=length)
+        cg.generate(
+            g_params, jax.random.PRNGKey(seed), cfg, batch=1, length=length,
+            meta=meta,
+        )
     )[0]
     if scaler is not None:
         events = scaler.inverse(events)

@@ -73,9 +73,13 @@ def init_generator(key: jax.Array, cfg: CRnnGanConfig) -> dict:
 def init_discriminator(key: jax.Array, cfg: CRnnGanConfig) -> dict:
     ks = jax.random.split(key, 5)
     H, F = cfg.hidden_dim, cfg.num_song_features
+    # conditional GAN: when meta_dim > 0 the D consumes the genre/composer
+    # one-hot alongside each event (without this, the adversarial phase has
+    # no incentive to honor the condition the generator was given — fooling
+    # an unconditioned D collapses conditioning; benchmarks/crnngan_quality_run)
     return {
-        "fwd1": lstm_init(ks[0], F, H),
-        "bwd1": lstm_init(ks[1], F, H),
+        "fwd1": lstm_init(ks[0], F + cfg.meta_dim, H),
+        "bwd1": lstm_init(ks[1], F + cfg.meta_dim, H),
         "fwd2": lstm_init(ks[2], 2 * H, H),
         "bwd2": lstm_init(ks[3], 2 * H, H),
         "out": linear_init(ks[4], 2 * H, 1),
@@ -100,6 +104,17 @@ def _resolve_meta(meta, batch: int, cfg: CRnnGanConfig):
     if meta is None:
         return jnp.zeros((batch, cfg.meta_dim))
     return meta
+
+
+def condition_events(events: jax.Array, meta, cfg: CRnnGanConfig) -> jax.Array:
+    """Append per-song meta one-hots to every timestep's event features —
+    the conditional-D input (no-op when cfg.meta_dim == 0)."""
+    meta = _resolve_meta(meta, events.shape[0], cfg)
+    if meta is None:
+        return events
+    B, T = events.shape[0], events.shape[1]
+    tiled = jnp.broadcast_to(meta[:, None, :], (B, T, meta.shape[-1]))
+    return jnp.concatenate([events, tiled.astype(events.dtype)], axis=-1)
 
 
 def _key_jitter(key):
@@ -178,10 +193,13 @@ def _bilstm(fwd_params, bwd_params, xs):
     return jnp.swapaxes(jnp.concatenate([fwd, bwd], axis=-1), 0, 1)
 
 
-def discriminator_forward(params: dict, events: jax.Array, cfg: CRnnGanConfig):
+def discriminator_forward(params: dict, events: jax.Array, cfg: CRnnGanConfig,
+                          meta: jax.Array | None = None):
     """[B, T, 4] events -> (decisions [B, T] in (0,1), features [B, T, 2H])
     — per-timestep real/fake decisions + the feature-matching hook
-    (model.py:104-137's intent)."""
+    (model.py:104-137's intent).  ``meta``: [B, meta_dim] conditioning rows
+    when cfg.meta_dim > 0 (conditional D)."""
+    events = condition_events(events, meta, cfg)
     h = _bilstm(params["fwd1"], params["bwd1"], events)
     h = _bilstm(params["fwd2"], params["bwd2"], h)
     logits = linear(params["out"], h)[..., 0]
@@ -189,13 +207,14 @@ def discriminator_forward(params: dict, events: jax.Array, cfg: CRnnGanConfig):
 
 
 def d_loss(d_params: dict, real: jax.Array, fake: jax.Array, cfg: CRnnGanConfig,
-           eps: float = 1e-7, d_forward=None) -> jax.Array:
+           eps: float = 1e-7, d_forward=None,
+           meta: jax.Array | None = None) -> jax.Array:
     """Per-timestep BCE: real -> 1, fake -> 0.  ``d_forward`` overrides the
     discriminator forward (the model-parallel trainer passes
     parallel/gan_tp.crnngan_forward_tp)."""
     fwd = d_forward or discriminator_forward
-    p_real, _ = fwd(d_params, real, cfg)
-    p_fake, _ = fwd(d_params, fake, cfg)
+    p_real, _ = fwd(d_params, real, cfg, meta=meta)
+    p_fake, _ = fwd(d_params, fake, cfg, meta=meta)
     return -(jnp.mean(jnp.log(p_real + eps)) + jnp.mean(jnp.log(1.0 - p_fake + eps)))
 
 
@@ -205,7 +224,7 @@ def g_adv_loss(g_params: dict, d_params: dict, key: jax.Array, batch: int,
     """Adversarial G loss: -mean log D(fake)."""
     fwd = d_forward or discriminator_forward
     fake = generate(g_params, key, cfg, batch, meta=meta)
-    p_fake, _ = fwd(d_params, fake, cfg)
+    p_fake, _ = fwd(d_params, fake, cfg, meta=meta)
     return -jnp.mean(jnp.log(p_fake + 1e-7))
 
 
@@ -221,8 +240,8 @@ def g_feature_matching_loss(g_params: dict, d_params: dict, key: jax.Array,
     change semantics)."""
     fwd = d_forward or discriminator_forward
     fake = generate(g_params, key, cfg, real.shape[0], meta=meta)
-    _, f_real = fwd(d_params, real, cfg)
-    _, f_fake = fwd(d_params, fake, cfg)
+    _, f_real = fwd(d_params, real, cfg, meta=meta)
+    _, f_fake = fwd(d_params, fake, cfg, meta=meta)
     fr, ff = f_real.mean(axis=(0, 1)), f_fake.mean(axis=(0, 1))
     if axis_name is not None:
         fr, ff = jax.lax.pmean((fr, ff), axis_name)

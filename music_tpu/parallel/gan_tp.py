@@ -196,12 +196,17 @@ def unpack_crnngan_d(params: dict, m: int) -> dict:
     return out
 
 
-def crnngan_forward_tp(params: dict, events, cfg, axis_name: str = "model"):
+def crnngan_forward_tp(params: dict, events, cfg, axis_name: str = "model",
+                       meta=None):
     """Hidden-split bi-LSTM discriminator forward inside shard_map —
     numerically identical to models/crnngan.discriminator_forward on the
-    un-repacked params.  One [B, H] psum per LSTM per timestep."""
+    un-repacked params.  One [B, H] psum per LSTM per timestep.
+    ``meta``: conditional-D rows (replicated), appended per timestep."""
+    from music_tpu.models.crnngan import condition_events
     from music_tpu.ops.rnn import linear
     from music_tpu.parallel.rnn_tp import lstm_cell_tp, lstm_zero_state_tp
+
+    events = condition_events(events, meta, cfg)
 
     m = jax.lax.axis_size(axis_name)
     B = events.shape[0]

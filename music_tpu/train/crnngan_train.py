@@ -40,6 +40,12 @@ class CRnnGanTrainConfig:
     grad_clip: float = 5.0
     d_too_strong: float = 0.9   # freeze D above this real-accuracy
     feature_matching_below: float = 0.1  # use FM loss when D(fake) below
+    # G objective: "auto" = adversarial, switching to feature matching when
+    # D saturates vs fake (the paper's escape hatch); "fm" = always feature
+    # matching (the statistics-anchored objective — -log D(fake) alone lets
+    # G drift off the corpus moments while still fooling D, measured in
+    # benchmarks/crnngan_quality_run.py); "adv" = always adversarial
+    g_objective: str = "auto"
 
 
 class FeatureScaler:
@@ -187,13 +193,13 @@ class CRnnGanTrainer:
             key = localize(key)
             k1, _, _ = jax.random.split(key, 3)
             fake = cg.generate(g_params, k1, cfg, real.shape[0], meta=meta)
-            p_real, _ = d_fwd(d_params, real, cfg)
-            p_fake, _ = d_fwd(d_params, fake, cfg)
+            p_real, _ = d_fwd(d_params, real, cfg, meta=meta)
+            p_fake, _ = d_fwd(d_params, fake, cfg, meta=meta)
             d_acc = pmean(0.5 * (jnp.mean(p_real > 0.5) + jnp.mean(p_fake < 0.5)))
             mean_p_fake = pmean(jnp.mean(p_fake))
 
             dl, grads = jax.value_and_grad(
-                lambda dp: cg.d_loss(dp, real, fake, cfg, d_forward=d_fwd)
+                lambda dp: cg.d_loss(dp, real, fake, cfg, d_forward=d_fwd, meta=meta)
             )(d_params)
             dl, grads = pmean((dl, grads))
             if clip_d_grads is not None:
@@ -219,9 +225,13 @@ class CRnnGanTrainer:
                     gp, d_params, k2, real, cfg, meta=meta, axis_name=axis,
                     d_forward=d_fwd,
                 )
+                if self.tc.g_objective == "fm":
+                    return fm
                 adv = cg.g_adv_loss(
                     gp, d_params, k3, real.shape[0], cfg, meta=meta, d_forward=d_fwd
                 )
+                if self.tc.g_objective == "adv":
+                    return adv
                 return jnp.where(use_fm, fm, adv)
 
             gl, g_grads = jax.value_and_grad(g_loss)(g_params)
@@ -235,21 +245,23 @@ class CRnnGanTrainer:
             key = localize(key)
             k1, k2, k3 = jax.random.split(key, 3)
             fake = cg.generate(g_params, k1, cfg, real.shape[0], meta=meta)
-            p_real, _ = d_fwd(d_params, real, cfg)
-            p_fake, _ = d_fwd(d_params, fake, cfg)
+            p_real, _ = d_fwd(d_params, real, cfg, meta=meta)
+            p_fake, _ = d_fwd(d_params, fake, cfg, meta=meta)
             d_acc = pmean(0.5 * (jnp.mean(p_real > 0.5) + jnp.mean(p_fake < 0.5)))
             mean_p_fake = pmean(jnp.mean(p_fake))
 
             def train_d(_):
                 loss, grads = jax.value_and_grad(
-                    lambda dp: cg.d_loss(dp, real, fake, cfg)
+                    lambda dp: cg.d_loss(dp, real, fake, cfg, meta=meta)
                 )(d_params)
                 loss, grads = pmean((loss, grads))
                 upd, new_opt = self.d_tx.update(grads, d_opt)
                 return optax.apply_updates(d_params, upd), new_opt, loss
 
             def skip_d(_):
-                return d_params, d_opt, pmean(cg.d_loss(d_params, real, fake, cfg))
+                return d_params, d_opt, pmean(
+                    cg.d_loss(d_params, real, fake, cfg, meta=meta)
+                )
 
             new_d, new_d_opt, dl = jax.lax.cond(
                 d_acc < self.tc.d_too_strong, train_d, skip_d, None
@@ -265,8 +277,13 @@ class CRnnGanTrainer:
 
             use_fm = mean_p_fake < self.tc.feature_matching_below
 
-            def g_loss(gp):
-                return jax.lax.cond(use_fm, g_fm, g_adv, gp)
+            if self.tc.g_objective == "fm":
+                g_loss = g_fm
+            elif self.tc.g_objective == "adv":
+                g_loss = g_adv
+            else:
+                def g_loss(gp):
+                    return jax.lax.cond(use_fm, g_fm, g_adv, gp)
 
             gl, g_grads = jax.value_and_grad(g_loss)(g_params)
             gl, g_grads = pmean((gl, g_grads))
