@@ -34,11 +34,29 @@ packs are stored int8 with per-output-column f32 scales (symmetric,
 column, so the scale applies exactly AFTER the matmul — the kernel
 converts each DMA'd tile to the compute dtype (off the critical path: the
 convert depends only on the tile's DMA, not on the activation chain) and
-multiplies the matmul result by a resident scale tile.  Scale tiles are
-pre-broadcast host-side to ``[S, cols]`` so the kernel never does a
-sublane broadcast (a Mosaic no-go).  Weight HBM traffic — this kernel's
+multiplies the matmul result by a resident ``[1, cols]`` scale row (the
+[1, C] -> [S, C] sublane broadcast lowers fine — probed on v5e; keeping
+the rows unbroadcast saves ~3 MB of VMEM at 40 layers, which is the
+difference between fitting and OOM).  Weight HBM traffic — this kernel's
 roofline — drops 4x vs f32 / 2x vs bf16; activations, accumulation, and
-the ring caches stay in the compute dtype.
+the ring caches stay in the compute dtype.  Measured on v5e this mode is
+convert-bound (docs/BENCHMARKS.md): the per-element dequant cancels the
+DMA saving — it ships for HBM *capacity*, not speed.
+
+``int8_matmul=True`` (requires ``weight_dtype=jnp.int8``): the MXU
+consumes the streamed int8 weights directly (native s8 x s8 -> s32), so
+no weight-tile conversion exists at all.  Activations are dynamically
+quantized per matmul — symmetric per-ROW scales
+(``row_s = max_l |x_l| / 127``, a lane reduction + lane broadcast, both
+Mosaic-legal) — and the exact dequant is the rank-1 outer product of
+scales folded post-matmul: ``(x_q @ w_q) * row_s * col_s``.  Measured
+honestly (docs/BENCHMARKS.md): the quantize ops sit on the serial
+dependency chain and their *latency* cancels the halved weight stream —
+bf16-weight parity at 67 MB, slower below; a true win needs static
+calibrated activation scales (future work).  Ships for the 4x streamed-
+weight HBM capacity; accuracy is behavioral (weight-only exactness no
+longer holds): 100% token agreement on trained models
+(tests/test_pallas_hbm_decode.py, benchmarks/int8_decode_validation.py).
 
 Everything else (stream discipline, ring caches, one-hot tokens, MXU lane
 extraction, sampling, output tiling) matches the resident kernel.
@@ -124,14 +142,38 @@ def _decode_kernel_hbm(
     n_stream_groups: int,
     dtype,
     weight_dtype,
+    int8_matmul: bool,
     sample_mode: str,
     temperature: float,
 ):
     quantized = weight_dtype is not None
     if quantized:
-        gscale_ref, pscale_ref, postscale_ref, seed_ref, out_ref, *scratch = rest
+        (gscale_ref, pdscale_ref, pkscale_ref, postscale_ref,
+         seed_ref, out_ref, *scratch) = rest
     else:
         seed_ref, out_ref, *scratch = rest
+
+    def quant_rows(x, sel=None):
+        """Dynamic symmetric per-row int8 quantization of an activation
+        tile: returns (q [.., lanes] int8, row_scale [.., 1] f32) with
+        x ~= q * row_scale.  ``sel``: optional lane slice the scale is
+        computed from — for the group-ring tap row only the layer's own
+        Cr-lane chunk feeds nonzero weights, so the scale must come from
+        that chunk (a whole-row max would crush small-magnitude layers);
+        out-of-chunk lanes clip to ±127 and then multiply zero weights.
+        All-zero rows quantize to q=0, scale ~0."""
+        xf = x.astype(jnp.float32)
+        src = xf if sel is None else sel.astype(jnp.float32)
+        m = jnp.maximum(jnp.max(jnp.abs(src), axis=1, keepdims=True), 1e-20)
+        q = jnp.round(jnp.clip(xf * (127.0 / m), -127.0, 127.0)).astype(jnp.int8)
+        return q, m * (1.0 / 127.0)
+
+    def mm_q8(x, w_q_ref_slice, col_scale, sel=None):
+        """x (compute dtype) @ int8 weights -> f32, exact rank-1 dequant:
+        (x_q @ w_q) * row_s * col_s."""
+        x_q, row_s = quant_rows(x, sel)
+        acc = jnp.dot(x_q, w_q_ref_slice, preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * row_s * col_scale
     L = cfg.n_blocks
     Cr, Cd, Cs, Q = (
         cfg.residual_channels,
@@ -250,21 +292,44 @@ def _decode_kernel_hbm(
             proj_dma(slot, i).wait()
 
             if quantized:
-                # int8 -> compute-dtype convert, once per DMA'd tile (shared
-                # by all G groups).  Depends only on the DMA, not on the
-                # activation chain, so Mosaic schedules it off the critical
-                # path; the per-output-column scales apply exactly AFTER the
-                # matmuls (linearity), as resident [S, cols] tiles.
-                gw = gate_buf[slot].astype(dtype)   # [W+Cr, Cg]
-                pw = proj_buf[slot].astype(dtype)   # [Cd, Crp+Cs]
-                gs = gscale_ref[i]                  # [S, Cg]
-                ps = pscale_ref[i]                  # [S, Crp+Cs]
+                gs = gscale_ref[i]                  # [1, Cg]
+                pds = pdscale_ref[i]                # [1, Cr]
+                pks = pkscale_ref[i]                # [1, Cs]
+                if int8_matmul:
+                    # native s8 x s8 MXU path: weights used as-is, zero
+                    # conversion; activations dynamic-quantized per matmul
+                    gw = gate_buf[slot][:]          # [W+Cr, Cg] int8
+                    pw = proj_buf[slot][:]          # [Cd, Crp+Cs] int8
+                else:
+                    # int8 -> compute-dtype convert, once per DMA'd tile
+                    # (shared by all G groups).  Depends only on the DMA,
+                    # not on the activation chain, so Mosaic schedules it
+                    # off the critical path; per-output-column scales apply
+                    # exactly AFTER the matmuls (linearity)
+                    gw = gate_buf[slot].astype(dtype)   # [W+Cr, Cg]
+                    pw = proj_buf[slot].astype(dtype)   # [Cd, Crp+Cs]
 
             # one weight DMA serves all G groups; the G chains are
             # independent, so their matmuls interleave in the pipeline
             for sg in range(G):
                 tap = taps[sg][layer_group[i]]
                 xs[sg].append(x[sg])
+                if quantized and int8_matmul:
+                    off = lane_of_layer[i]
+                    fg = (
+                        mm_q8(tap, gw[:W], 1.0, sel=tap[:, off : off + Cr])
+                        + mm_q8(x[sg], gw[W:], 1.0)
+                    ) * gs
+                    z = (jnp.tanh(fg[:, :Cd]) * jax.nn.sigmoid(fg[:, Cd : 2 * Cd])).astype(dtype)
+                    z_q, z_s = quant_rows(z)
+                    dense = jnp.dot(
+                        z_q, pw[:, :Cr], preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * z_s * pds
+                    x[sg] = (x[sg] + dense).astype(dtype)
+                    skip_acc[sg] = skip_acc[sg] + jnp.dot(
+                        z_q, pw[:, Crp:], preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * z_s * pks
+                    continue
                 if quantized:
                     fg = jnp.dot(tap, gw[:W], preferred_element_type=jnp.float32)
                     fg = (fg + jnp.dot(x[sg], gw[W:], preferred_element_type=jnp.float32)) * gs
@@ -272,11 +337,11 @@ def _decode_kernel_hbm(
                     x[sg] = (
                         x[sg]
                         + jnp.dot(z, pw[:, :Cr], preferred_element_type=jnp.float32)
-                        * ps[:, :Cr]
+                        * pds
                     ).astype(dtype)
                     skip_acc[sg] = skip_acc[sg] + jnp.dot(
                         z, pw[:, Crp:], preferred_element_type=jnp.float32
-                    ) * ps[:, Crp:]
+                    ) * pks
                     continue
                 fg = jnp.dot(tap, gate_buf[slot, :W], preferred_element_type=jnp.float32)
                 fg = fg + jnp.dot(x[sg], gate_buf[slot, W:], preferred_element_type=jnp.float32)
@@ -297,19 +362,33 @@ def _decode_kernel_hbm(
 
         # post1 column blocks -> h2; post2 column blocks -> logits
         h = [jax.nn.relu(skip_acc[sg]).astype(dtype) for sg in range(G)]
+        if quantized and int8_matmul:
+            # one LHS quantization serves every column block
+            h_quant = [quant_rows(h[sg]) for sg in range(G)]
         h2_blocks = [[] for _ in range(G)]
         for j in range(n_p1):
             slot = j % 2
             if j + 1 < n_post:
                 post_dma((j + 1) % 2, j + 1).start()
             post_dma(slot, j).wait()
+            if quantized and int8_matmul:
+                pb = post_buf[slot][:]
+                for sg in range(G):
+                    h_q, h_s = h_quant[sg]
+                    hj = jnp.dot(
+                        h_q, pb, preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * h_s * postscale_ref[j]
+                    h2_blocks[sg].append(jax.nn.relu(hj).astype(dtype))
+                continue
             pb = post_buf[slot].astype(dtype) if quantized else post_buf[slot]
             for sg in range(G):
                 hj = jnp.dot(h[sg], pb, preferred_element_type=jnp.float32)
                 if quantized:
-                    hj = hj * postscale_ref[:, j * PB : (j + 1) * PB]
+                    hj = hj * postscale_ref[j]
                 h2_blocks[sg].append(jax.nn.relu(hj).astype(dtype))
         h2 = [jnp.concatenate(h2_blocks[sg], axis=1) for sg in range(G)]  # [S, Cs]
+        if quantized and int8_matmul:
+            h2_quant = [quant_rows(h2[sg]) for sg in range(G)]
         logit_blocks = [[] for _ in range(G)]
         for j2 in range(n_p2):
             j = n_p1 + j2
@@ -324,11 +403,21 @@ def _decode_kernel_hbm(
                         gate_dma(i0 % NB, i0).start()
                         proj_dma(i0 % NB, i0).start()
             post_dma(slot, j).wait()
+            if quantized and int8_matmul:
+                pb = post_buf[slot][:]
+                for sg in range(G):
+                    h2_q, h2_s = h2_quant[sg]
+                    logit_blocks[sg].append(
+                        jnp.dot(
+                            h2_q, pb, preferred_element_type=jnp.int32
+                        ).astype(jnp.float32) * h2_s * postscale_ref[j]
+                    )
+                continue
             pb = post_buf[slot].astype(dtype) if quantized else post_buf[slot]
             for sg in range(G):
                 lj = jnp.dot(h2[sg], pb, preferred_element_type=jnp.float32)
                 if quantized:
-                    lj = lj * postscale_ref[:, j * PB : (j + 1) * PB]
+                    lj = lj * postscale_ref[j]
                 logit_blocks[sg].append(lj)
         logits = [jnp.concatenate(logit_blocks[sg], axis=1) for sg in range(G)]
 
@@ -376,13 +465,13 @@ def _build_hbm_weights(
     cfg: WaveNetConfig,
     dtype=jnp.float32,
     weight_dtype=None,
-    n_streams: int = N_STREAMS,
 ):
     """Pack the model pytree into the three streamed HBM layouts.
 
     ``weight_dtype=jnp.int8`` stores the packs int8 with per-output-column
-    scales pre-broadcast to ``[n_streams, cols]`` tiles (the kernel applies
-    them elementwise post-matmul — no sublane broadcast)."""
+    f32 scales as ``[.., 1, cols]`` rows (the kernel applies them
+    elementwise post-matmul via a [1, C] -> [S, C] sublane broadcast,
+    which Mosaic lowers fine — probed on hardware)."""
     L, Cr, Cd, Cs = (
         cfg.n_blocks,
         cfg.residual_channels,
@@ -413,19 +502,26 @@ def _build_hbm_weights(
         return out
     if jnp.dtype(weight_dtype) != jnp.int8:
         raise NotImplementedError("weight_dtype must be None or jnp.int8")
-    S = n_streams
     gate_q, gate_s = _quantize_cols(gate, axis=1)     # [L,1,Cg]
     proj_q, proj_s = _quantize_cols(proj, axis=1)     # [L,1,Crp+Cs]
     post_q, post_s = _quantize_cols(post, axis=0)     # [1,Cs+Q]
+    # Scales are stored pre-split/pre-blocked so the kernel multiplies each
+    # matmul result by a WHOLE [1, cols] row: Mosaic accepts the
+    # [1,C] -> [S,C] sublane broadcast but rejects it when the source is a
+    # lane-SLICE of a wider row (probed: `acc * ps[:, Crp:]` fails with
+    # "Invalid input layout" on a (1xC) vector.broadcast, the unsliced
+    # variants compile).
+    PB = _post_block(cfg)
+    n_post = (Cs + cfg.quantization_channels) // PB
     out.update(
-        gate=gate_q,
-        proj=proj_q,
-        post=post_q,
-        gate_scale=jnp.broadcast_to(gate_s, (L, S, Cg)).astype(jnp.float32),
-        proj_scale=jnp.broadcast_to(proj_s, (L, S, proj.shape[2])).astype(jnp.float32),
-        post_scale=jnp.broadcast_to(post_s, (S, Cs + cfg.quantization_channels)).astype(
-            jnp.float32
-        ),
+        gate=gate_q, proj=proj_q, post=post_q,
+        gate_scale=gate_s.astype(jnp.float32),                    # [L,1,Cg]
+        proj_scale_dense=proj_s[:, :, :Cr].astype(jnp.float32),   # [L,1,Cr]
+        proj_scale_skip=proj_s[:, :, Crp:].astype(jnp.float32),   # [L,1,Cs]
+        post_scale_blocks=post_s[0]
+        .reshape(n_post, 1, PB)
+        .astype(jnp.float32),                                     # [n_post,1,PB]
+        _proj_scale_full=proj_s.astype(jnp.float32),  # dequant helper only
     )
     return out
 
@@ -448,9 +544,11 @@ def dequantized_params(params: dict, cfg: WaveNetConfig) -> dict:
     _, lane_of_layer = _grouping(cfg, W)
     Crp = _round_up(Cr, 128)
     w = _build_hbm_weights(params, cfg, weight_dtype=jnp.int8)
-    gate = w["gate"].astype(jnp.float32) * w["gate_scale"][:, :1]
-    proj = w["proj"].astype(jnp.float32) * w["proj_scale"][:, :1]
-    post = w["post"].astype(jnp.float32) * w["post_scale"][:1]
+    gate = w["gate"].astype(jnp.float32) * w["gate_scale"]
+    proj = w["proj"].astype(jnp.float32) * w["_proj_scale_full"]
+    post = w["post"].astype(jnp.float32) * jnp.concatenate(
+        [b for b in w["post_scale_blocks"]], axis=1
+    )
     fg = jnp.stack(
         [
             jnp.stack(
@@ -476,7 +574,7 @@ def dequantized_params(params: dict, cfg: WaveNetConfig) -> dict:
     jax.jit,
     static_argnames=(
         "cfg", "n_steps", "interpret", "n_streams", "dtype", "sample_mode",
-        "temperature", "n_stream_groups", "weight_dtype",
+        "temperature", "n_stream_groups", "weight_dtype", "int8_matmul",
     ),
 )
 def generate_tokens_fused_hbm(
@@ -490,6 +588,7 @@ def generate_tokens_fused_hbm(
     n_stream_groups: int = 1,
     dtype=jnp.float32,
     weight_dtype=None,
+    int8_matmul: bool = False,
     sample_mode: str = "argmax",
     temperature: float = 1.0,
     seed: int = 0,
@@ -555,16 +654,17 @@ def generate_tokens_fused_hbm(
             .reshape(G * n_tiles, S, W)
         )
     ring0, cur0, prev0 = ring0.astype(dtype), cur0.astype(dtype), prev0.astype(dtype)
-    w = _build_hbm_weights(
-        params, cfg, dtype, weight_dtype=weight_dtype, n_streams=S
-    )
+    w = _build_hbm_weights(params, cfg, dtype, weight_dtype=weight_dtype)
     w_dtype = None if weight_dtype is None else jnp.dtype(weight_dtype)
     buf_dtype = dtype if w_dtype is None else w_dtype
+    if int8_matmul and w_dtype != jnp.int8:
+        raise ValueError("int8_matmul requires weight_dtype=jnp.int8")
 
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
         _decode_kernel_hbm, cfg=cfg, total=total, n_streams=S,
         n_stream_groups=G, dtype=dtype, weight_dtype=w_dtype,
+        int8_matmul=int8_matmul,
         sample_mode=sample_mode, temperature=temperature,
     )
     Cr, Cd, Cs, Q = (
@@ -573,7 +673,9 @@ def generate_tokens_fused_hbm(
     )
 
     scale_ops = (
-        [w["gate_scale"], w["proj_scale"], w["post_scale"]] if w_dtype else []
+        [w["gate_scale"], w["proj_scale_dense"], w["proj_scale_skip"],
+         w["post_scale_blocks"]]
+        if w_dtype else []
     )
     out = pl.pallas_call(
         kernel,
