@@ -183,7 +183,7 @@ def generate_batch(
     # latency), else HBM-streaming multi-group, else one batched scan
     # program (off-TPU the scan path always wins: interpret-mode Pallas
     # would be slower)
-    fused, g_max = None, 1
+    fused, g_max, rings_in_hbm = None, 1, False
     if on_tpu:
         res_g = hbm_g = 0
         try:
@@ -205,15 +205,32 @@ def generate_batch(
             fused, g_max = wavenet_decode.generate_tokens_fused, res_g
         elif hbm_g >= 1:
             fused, g_max = wavenet_decode_hbm.generate_tokens_fused_hbm, hbm_g
+        # when the request outgrows the VMEM-ring group caps, upgrade to
+        # the HBM-ring-state mode: large-dilation ring slots live in HBM
+        # (one [S, W] tile in+out per group per step), lifting the
+        # serving-group ceiling by ~30-60x.  Marginal throughput per extra
+        # group diminishes (docs/BENCHMARKS.md "HBM ring state"), but one
+        # bigger launch still beats several sequential ones.
+        if fused is not None and n > S * g_max and hbm_g >= 1:
+            hbmr_g = wavenet_decode_hbm.max_stream_groups_hbm_rings(cfg, S, dtype)
+            if hbmr_g > g_max:
+                fused = wavenet_decode_hbm.generate_tokens_fused_hbm
+                g_max, rings_in_hbm = hbmr_g, True
 
     def decode_rows(p, rows, seed_scalar):
         """Decode one device's rows; seed may be a traced scalar."""
         if fused is not None:
+            extra = (
+                {"rings_in_hbm": True}
+                if rings_in_hbm
+                and fused is wavenet_decode_hbm.generate_tokens_fused_hbm
+                else {}
+            )
             return fused(
                 p, rows, cfg=cfg, n_steps=n_steps, n_streams=S,
                 n_stream_groups=-(-rows.shape[0] // S), dtype=dtype,
                 sample_mode=sample_mode, temperature=temperature,
-                seed=seed_scalar,
+                seed=seed_scalar, **extra,
             )
         return wn.generate_tokens(
             p, rows, jax.random.PRNGKey(seed_scalar), cfg=cfg,

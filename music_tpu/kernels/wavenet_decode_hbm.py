@@ -122,6 +122,33 @@ def max_stream_groups(
     return max(0, (vmem_budget - shared) // ring_bytes)
 
 
+def max_stream_groups_hbm_rings(
+    cfg: WaveNetConfig,
+    n_streams: int = N_STREAMS,
+    dtype=jnp.float32,
+    min_dilation: int = 32,
+    vmem_budget: int = 12 * 1024 * 1024,
+) -> int:
+    """Serving-group cap with ``rings_in_hbm=True``: only the small-
+    dilation rings (d < min_dilation) and the per-HBM-group [2, G*S, W]
+    tap/write staging pairs cost VMEM per group — typically ~30-60x less
+    than full VMEM rings, so tens of groups fit where 1-2 did."""
+    itemsize = jnp.dtype(dtype).itemsize
+    W = _row_lanes(cfg)
+    distinct = sorted({d for d in cfg.dilations})
+    small = [d for d in distinct if d < min_dilation]
+    n_hbm = len(distinct) - len(small)
+    per_group = (sum(small) + 4 * n_hbm) * n_streams * W * itemsize
+    Cr, Cd, Cs = cfg.residual_channels, cfg.dilation_channels, cfg.skip_channels
+    Cg = _round_up(2 * Cd, 128)
+    shared = (
+        4 * (W + Cr) * Cg
+        + 4 * Cd * (_round_up(Cr, 128) + Cs)
+        + 2 * Cs * _post_block(cfg)
+    ) * itemsize
+    return max(0, (vmem_budget - shared) // max(per_group, 1))
+
+
 def _decode_kernel_hbm(
     # VMEM inputs
     cur0_ref,        # [G*S, Q] — one-hot of the first input token
@@ -143,15 +170,21 @@ def _decode_kernel_hbm(
     dtype,
     weight_dtype,
     int8_matmul: bool,
+    hbm_ring_min_dilation: int,
     sample_mode: str,
     temperature: float,
 ):
     quantized = weight_dtype is not None
+    hbm_rings = hbm_ring_min_dilation > 0
     if quantized:
         (gscale_ref, pdscale_ref, pkscale_ref, postscale_ref,
          seed_ref, out_ref, *scratch) = rest
     else:
         seed_ref, out_ref, *scratch = rest
+    if hbm_rings:
+        # second output: the ANY-space ring state, aliased to ring_init_hbm
+        # (large-dilation ring slots live in HBM; see scratch layout below)
+        ring_state, *scratch = scratch
 
     def quant_rows(x, sel=None):
         """Dynamic symmetric per-row int8 quantization of an activation
@@ -197,8 +230,25 @@ def _decode_kernel_hbm(
     n_post = n_p1 + n_p2
     groups, lane_of_layer = _grouping(cfg, W)
     n_groups = len(groups)
-    rings = scratch[:n_groups]
-    gate_buf, proj_buf, post_buf, gate_sem, proj_sem, post_sem = scratch[n_groups:]
+    # group classification: dilations >= hbm_ring_min_dilation keep their
+    # ring slots in HBM (the per-step traffic is one [S, W] tile in + out
+    # per group — trivial bandwidth — and the slot read at step t was
+    # written at t - d, so a one-step-ahead prefetch can never race the
+    # write for d >= 3); the small-dilation groups stay in VMEM where they
+    # cost almost nothing.  This removes the O(sum d) VMEM ring cost that
+    # caps the serving-group count.
+    is_hbm = [hbm_rings and d >= hbm_ring_min_dilation for d, _ in groups]
+    vmem_idx = [g for g in range(n_groups) if not is_hbm[g]]
+    hbm_idx = [g for g in range(n_groups) if is_hbm[g]]
+    n_vmem, n_hbm = len(vmem_idx), len(hbm_idx)
+    rings_list = scratch[:n_vmem]
+    rings = {g: rings_list[k] for k, g in enumerate(vmem_idx)}
+    tap_stage = {g: scratch[n_vmem + k] for k, g in enumerate(hbm_idx)}
+    wr_stage = {g: scratch[n_vmem + n_hbm + k] for k, g in enumerate(hbm_idx)}
+    (gate_buf, proj_buf, post_buf, gate_sem, proj_sem, post_sem,
+     *ring_sems) = scratch[n_vmem + 2 * n_hbm:]
+    if hbm_rings and n_hbm:
+        tap_sem, wr_sem = ring_sems  # each [n_hbm, 2, G]
     layer_group = {}
     for g, (d, layers) in enumerate(groups):
         for i in layers:
@@ -243,15 +293,43 @@ def _decode_kernel_hbm(
     # group g occupies rows [sg*d_g, (sg+1)*d_g) of rings[g], and rows
     # [sg*sum(d) + ring_base[g], ...) of the packed init.
     n_tiles = sum(d for d, _ in groups)
+    # with hbm_rings the init input doubles as the live ring state (it is
+    # aliased to the ring_state output) — read all state through ring_state
+    ring_src = ring_state if hbm_rings else ring_init_hbm
     for sg in range(G):
-        for g, (d, _) in enumerate(groups):
+        for g in vmem_idx:
+            d = groups[g][0]
             init_dma = pltpu.make_async_copy(
-                ring_init_hbm.at[pl.ds(sg * n_tiles + ring_base[g], d)],
+                ring_src.at[pl.ds(sg * n_tiles + ring_base[g], d)],
                 rings[g].at[pl.ds(sg * d, d)],
                 gate_sem.at[0],
             )
             init_dma.start()
             init_dma.wait()
+
+    def hbm_base(g, sg):
+        return sg * n_tiles + ring_base[g]
+
+    def tap_dma(k, g, sg, slot, parity):
+        """HBM ring slot -> tap staging (parity half) for (group g, sg)."""
+        return pltpu.make_async_copy(
+            ring_state.at[hbm_base(g, sg) + slot],
+            tap_stage[g].at[parity, pl.ds(sg * S, S)],
+            tap_sem.at[k, parity, sg],
+        )
+
+    def wr_dma(k, g, sg, slot, parity):
+        """Write staging (parity half) -> HBM ring slot for (group g, sg)."""
+        return pltpu.make_async_copy(
+            wr_stage[g].at[parity, pl.ds(sg * S, S)],
+            ring_state.at[hbm_base(g, sg) + slot],
+            wr_sem.at[k, parity, sg],
+        )
+
+    # prefetch step-0 taps for the HBM-resident groups (slot 0, parity 0)
+    for k, g in enumerate(hbm_idx):
+        for sg in range(G):
+            tap_dma(k, g, sg, 0, 0).start()
     for i0 in range(min(NB - 1, L)):
         gate_dma(i0 % NB, i0).start()
         proj_dma(i0 % NB, i0).start()
@@ -267,16 +345,27 @@ def _decode_kernel_hbm(
             for sg in range(G)
         ]
 
-        taps = []   # [G][dilation group] -> [S, W]
+        parity = jax.lax.rem(t, 2)
+        nparity = jax.lax.rem(t + 1, 2)
         slots = []
         for g, (d, layers) in enumerate(groups):
             slot = t % d if d > 1 else 0
             slots.append(slot)
+        # HBM groups: the step-t taps were prefetched into staging at step
+        # t-1 (slot t mod d was last written at step t-d, so the prefetch
+        # can never race a write for d >= 3) — wait, then read staging
+        for k, g in enumerate(hbm_idx):
+            for sg in range(G):
+                tap_dma(k, g, sg, slots[g], parity).wait()
+        taps = []   # [G stream groups][dilation group] -> [S, W]
         for sg in range(G):
-            taps.append([
-                rings[g][pl.ds(sg * d + slots[g], 1)][0]
-                for g, (d, _) in enumerate(groups)
-            ])
+            row = []
+            for g, (d, _) in enumerate(groups):
+                if is_hbm[g]:
+                    row.append(tap_stage[g][parity, pl.ds(sg * S, S)])
+                else:
+                    row.append(rings[g][pl.ds(sg * d + slots[g], 1)][0])
+            taps.append(row)
 
         xs = [[] for _ in range(G)]
         skip_acc = [jnp.zeros((S, Cs), jnp.float32) for _ in range(G)]
@@ -353,12 +442,32 @@ def _decode_kernel_hbm(
 
         for g, (d, layers) in enumerate(groups):
             pad = W - len(layers) * Cr
+            k = hbm_idx.index(g) if is_hbm[g] else -1
             for sg in range(G):
                 pieces = [xs[sg][i] for i in layers]
                 if pad:
                     pieces.append(jnp.zeros((S, pad), dtype))
                 new_tile = jnp.concatenate(pieces, axis=1)  # [S, W]
-                rings[g][pl.ds(sg * d + slots[g], 1)] = new_tile[None]
+                if not is_hbm[g]:
+                    rings[g][pl.ds(sg * d + slots[g], 1)] = new_tile[None]
+                    continue
+                # HBM group: stage the tile (parity half last used at step
+                # t-2 — drain that write first), then DMA it to its slot
+                @pl.when(t >= 2)
+                def _(k=k, g=g, sg=sg, d=d):
+                    wr_dma(k, g, sg, (t - 2) % d if d > 1 else 0, parity).wait()
+                wr_stage[g][parity, pl.ds(sg * S, S)] = new_tile
+                wr_dma(k, g, sg, slots[g], parity).start()
+
+        # prefetch the NEXT step's taps for the HBM groups (their slots
+        # were written >= (min d - 1) steps ago, and that write's DMA was
+        # semaphore-drained at most two steps later — no ordering hazard)
+        @pl.when(t + 1 < total)
+        def _():
+            for k, g in enumerate(hbm_idx):
+                d = groups[g][0]
+                for sg in range(G):
+                    tap_dma(k, g, sg, (t + 1) % d, nparity).start()
 
         # post1 column blocks -> h2; post2 column blocks -> logits
         h = [jax.nn.relu(skip_acc[sg]).astype(dtype) for sg in range(G)]
@@ -447,6 +556,14 @@ def _decode_kernel_hbm(
             tuple(jnp.zeros((S, 128), jnp.int32) for _ in range(G)),
         ),
     )
+
+    # drain the last two steps' HBM ring writes (their sems are normally
+    # waited two steps later, which never comes for t = total-1, total-2)
+    for t_last in range(max(total - 2, 0), total):
+        for k, g in enumerate(hbm_idx):
+            d = groups[g][0]
+            for sg in range(G):
+                wr_dma(k, g, sg, t_last % d if d > 1 else 0, t_last % 2).wait()
 
 
 def _quantize_cols(w: jax.Array, axis: int):
@@ -575,6 +692,7 @@ def dequantized_params(params: dict, cfg: WaveNetConfig) -> dict:
     static_argnames=(
         "cfg", "n_steps", "interpret", "n_streams", "dtype", "sample_mode",
         "temperature", "n_stream_groups", "weight_dtype", "int8_matmul",
+        "rings_in_hbm", "hbm_ring_min_dilation",
     ),
 )
 def generate_tokens_fused_hbm(
@@ -589,6 +707,8 @@ def generate_tokens_fused_hbm(
     dtype=jnp.float32,
     weight_dtype=None,
     int8_matmul: bool = False,
+    rings_in_hbm: bool = False,
+    hbm_ring_min_dilation: int = 32,
     sample_mode: str = "argmax",
     temperature: float = 1.0,
     seed: int = 0,
@@ -614,6 +734,16 @@ def generate_tokens_fused_hbm(
     :func:`dequantized_params`; quantization error vs the full-precision
     model is a property of the trained weights, measurable host-side with
     the same helper.
+
+    ``rings_in_hbm=True`` keeps ring slots of dilation groups with
+    ``d >= hbm_ring_min_dilation`` in HBM (the ring-init input is aliased
+    to an ANY-space output and becomes the live ring state), with the
+    step-t tap tiles prefetched into VMEM staging one step ahead — the
+    per-step ring traffic is only one [S, W] tile in + out per large
+    group, while the VMEM ring cost (the binding constraint on
+    ``n_stream_groups``) collapses from O(sum d) to O(sum of small d) —
+    the serving-scale mode: more concurrent stream groups per chip than
+    VMEM-resident rings allow.  Token-exact vs the VMEM-ring path.
     """
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
@@ -660,11 +790,12 @@ def generate_tokens_fused_hbm(
     if int8_matmul and w_dtype != jnp.int8:
         raise ValueError("int8_matmul requires weight_dtype=jnp.int8")
 
+    hbm_min_d = hbm_ring_min_dilation if rings_in_hbm else 0
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
         _decode_kernel_hbm, cfg=cfg, total=total, n_streams=S,
         n_stream_groups=G, dtype=dtype, weight_dtype=w_dtype,
-        int8_matmul=int8_matmul,
+        int8_matmul=int8_matmul, hbm_ring_min_dilation=hbm_min_d,
         sample_mode=sample_mode, temperature=temperature,
     )
     Cr, Cd, Cs, Q = (
@@ -677,15 +808,40 @@ def generate_tokens_fused_hbm(
          w["post_scale_blocks"]]
         if w_dtype else []
     )
+    vmem_groups = [
+        (d, ls) for d, ls in groups if not (hbm_min_d and d >= hbm_min_d)
+    ]
+    n_hbm = len(groups) - len(vmem_groups)
+    tokens_shape = jax.ShapeDtypeStruct(((total // 128) * S_total, 128), jnp.int32)
+    if hbm_min_d:
+        out_shape = (tokens_shape, jax.ShapeDtypeStruct(ring0.shape, dtype))
+        out_specs = (
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        )
+        aliases = {4: 1}  # ring0 operand -> ring-state output (in place)
+    else:
+        out_shape = tokens_shape
+        out_specs = pl.BlockSpec(memory_space=pltpu.VMEM)
+        aliases = {}
+    stage_shapes = (
+        [pltpu.VMEM((2, G * S, W), dtype) for _ in range(2 * n_hbm)]
+    )
+    ring_sem_shapes = (
+        [pltpu.SemaphoreType.DMA((n_hbm, 2, G)) for _ in range(2)]
+        if n_hbm else []
+    )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(((total // 128) * S_total, 128), jnp.int32),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
         + [pl.BlockSpec(memory_space=pl.ANY)] * 4
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(scale_ops)
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((G * d, S, W), dtype) for d, _ in groups]
+        out_specs=out_specs,
+        input_output_aliases=aliases,
+        scratch_shapes=[pltpu.VMEM((G * d, S, W), dtype) for d, _ in vmem_groups]
+        + stage_shapes
         + [
             pltpu.VMEM((4, W + Cr, _round_up(2 * Cd, 128)), buf_dtype),  # gate buffers (NB=4)
             pltpu.VMEM((4, Cd, _round_up(Cr, 128) + Cs), buf_dtype),  # proj buffers
@@ -693,7 +849,8 @@ def generate_tokens_fused_hbm(
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+        + ring_sem_shapes,
         interpret=interpret,
     )(
         cur0, prev0, w["ecur"], w["eprev"],
@@ -701,6 +858,8 @@ def generate_tokens_fused_hbm(
         *scale_ops,
         jnp.asarray([seed], jnp.int32),
     )
+    if hbm_min_d:
+        out = out[0]  # (tokens, final ring state) — state only aliases ring0
     toks = out.reshape(total // 128, S_total, 128)
     toks = jnp.swapaxes(toks, 0, 1).reshape(S_total, total)[:, :n_steps]
     return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]

@@ -180,6 +180,45 @@ def test_hbm_decode_int8_wide_multigroup():
     assert (out16 >= 0).all() and (out16 < 32).all()
 
 
+def test_hbm_rings_matches_scan():
+    """rings_in_hbm keeps large-dilation ring slots in HBM (aliased ANY
+    output) with one-step-ahead tap prefetch; tokens must match the scan
+    reference exactly.  min_dilation=2 puts the d=2,4,8 groups in HBM on
+    the TINY config so the path is exercised."""
+    params = wn.init_params(jax.random.PRNGKey(0), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 16
+    prime = jax.random.randint(jax.random.PRNGKey(1), (1, P), 0, 32)
+
+    ref = wn.generate_tokens(
+        params, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=150, prime_len=P, sample_mode="argmax",
+    )
+    hbm = generate_tokens_fused_hbm(
+        params, prime, cfg=TINY, n_steps=150, interpret=True,
+        rings_in_hbm=True, hbm_ring_min_dilation=2,
+    )
+    np.testing.assert_array_equal(np.asarray(hbm), np.asarray(ref))
+
+
+def test_hbm_rings_multigroup_matches_scan():
+    """HBM ring state composes with serving groups (its whole point —
+    the VMEM ring cost no longer bounds n_stream_groups)."""
+    params = wn.init_params(jax.random.PRNGKey(5), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 8
+    prime = jax.random.randint(jax.random.PRNGKey(6), (12, P), 0, 32)
+
+    ref = wn.generate_tokens(
+        params, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=140, prime_len=P, sample_mode="argmax",
+    )
+    hbm = generate_tokens_fused_hbm(
+        params, prime, cfg=TINY, n_steps=140, interpret=True,
+        n_stream_groups=2, rings_in_hbm=True, hbm_ring_min_dilation=2,
+    )
+    assert hbm.shape == (12, 140)
+    np.testing.assert_array_equal(np.asarray(hbm), np.asarray(ref))
+
+
 def test_hbm_decode_int8_matmul_trained_model_agreement():
     """int8_matmul quantizes activations dynamically (weight-only
     exactness no longer holds), so the correctness statement is
