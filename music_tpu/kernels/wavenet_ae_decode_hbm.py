@@ -62,14 +62,20 @@ def _ae_kernel_hbm(
     condfg_hbm,      # [F, G*S, L*2Cd]
     condpost_hbm,    # [F, G*S, Cs]
     out_ref,         # [(T//128)*G*S, 128] i32
-    *scratch,
+    *rest,           # (+ ring_state ANY output when hbm rings) + scratch
     cfg: WaveNetAEConfig,
     total: int,
     t0_frame_offset: int,
     F: int,
     n_stream_groups: int,
     dtype,
+    hbm_ring_min_dilation: int = 0,
 ):
+    hbm_rings = hbm_ring_min_dilation > 0
+    if hbm_rings:
+        ring_state, *scratch = rest
+    else:
+        scratch = rest
     L = cfg.n_blocks
     Cr, Cd, Cs, Q = (
         cfg.de_residual_channel,
@@ -90,9 +96,20 @@ def _ae_kernel_hbm(
     n_post = n_p1 + n_p2
     groups, lane_of_layer = _grouping(cfg, W)
     n_groups = len(groups)
-    rings = scratch[:n_groups]
+    # large-dilation ring slots optionally live in HBM with one-step-ahead
+    # tap prefetch — same scheme as kernels/wavenet_decode_hbm.py
+    is_hbm = [hbm_rings and d >= hbm_ring_min_dilation for d, _ in groups]
+    vmem_idx = [g for g in range(n_groups) if not is_hbm[g]]
+    hbm_idx = [g for g in range(n_groups) if is_hbm[g]]
+    n_vmem, n_hbm = len(vmem_idx), len(hbm_idx)
+    rings_list = scratch[:n_vmem]
+    rings = {g: rings_list[k] for k, g in enumerate(vmem_idx)}
+    tap_stage = {g: scratch[n_vmem + k] for k, g in enumerate(hbm_idx)}
+    wr_stage = {g: scratch[n_vmem + n_hbm + k] for k, g in enumerate(hbm_idx)}
     (gate_buf, proj_buf, post_buf, cond_fg_cur, cond_post_cur,
-     gate_sem, proj_sem, post_sem, cond_sem) = scratch[n_groups:]
+     gate_sem, proj_sem, post_sem, cond_sem, *ring_sems) = scratch[n_vmem + 2 * n_hbm:]
+    if n_hbm:
+        tap_sem, wr_sem = ring_sems
     layer_group = {}
     for g, (d, layers) in enumerate(groups):
         for i in layers:
@@ -130,15 +147,40 @@ def _ae_kernel_hbm(
 
     # boot: ring caches from HBM, layer pipeline warm-up, first cond rows
     n_tiles = sum(d for d, _ in groups)
+    ring_src = ring_state if hbm_rings else ring_init_hbm
     for sg in range(G):
-        for g, (d, _) in enumerate(groups):
+        for g in vmem_idx:
+            d = groups[g][0]
             init_dma = pltpu.make_async_copy(
-                ring_init_hbm.at[pl.ds(sg * n_tiles + ring_base[g], d)],
+                ring_src.at[pl.ds(sg * n_tiles + ring_base[g], d)],
                 rings[g].at[pl.ds(sg * d, d)],
                 gate_sem.at[0],
             )
             init_dma.start()
             init_dma.wait()
+
+    S_ = S
+
+    def hbm_base(g, sg):
+        return sg * n_tiles + ring_base[g]
+
+    def tap_dma(k, g, sg, slot, parity):
+        return pltpu.make_async_copy(
+            ring_state.at[hbm_base(g, sg) + slot],
+            tap_stage[g].at[parity, pl.ds(sg * S_, S_)],
+            tap_sem.at[k, parity, sg],
+        )
+
+    def wr_dma(k, g, sg, slot, parity):
+        return pltpu.make_async_copy(
+            wr_stage[g].at[parity, pl.ds(sg * S_, S_)],
+            ring_state.at[hbm_base(g, sg) + slot],
+            wr_sem.at[k, parity, sg],
+        )
+
+    for k, g in enumerate(hbm_idx):
+        for sg in range(G):
+            tap_dma(k, g, sg, 0, 0).start()
     for i0 in range(min(NB - 1, L)):
         gate_dma(i0 % NB, i0).start()
         proj_dma(i0 % NB, i0).start()
@@ -159,13 +201,23 @@ def _ae_kernel_hbm(
             for sg in range(G)
         ]
 
+        parity = jax.lax.rem(t, 2)
+        nparity = jax.lax.rem(t + 1, 2)
         slots = []
         for g, (d, layers) in enumerate(groups):
             slots.append(t % d if d > 1 else 0)
-        taps = [
-            [rings[g][pl.ds(sg * d + slots[g], 1)][0] for g, (d, _) in enumerate(groups)]
-            for sg in range(G)
-        ]
+        for k, g in enumerate(hbm_idx):
+            for sg in range(G):
+                tap_dma(k, g, sg, slots[g], parity).wait()
+        taps = []
+        for sg in range(G):
+            row = []
+            for g, (d, _) in enumerate(groups):
+                if is_hbm[g]:
+                    row.append(tap_stage[g][parity, pl.ds(sg * S, S)])
+                else:
+                    row.append(rings[g][pl.ds(sg * d + slots[g], 1)][0])
+            taps.append(row)
 
         xs = [[] for _ in range(G)]
         skip_acc = [jnp.zeros((S, Cs), jnp.float32) for _ in range(G)]
@@ -195,11 +247,27 @@ def _ae_kernel_hbm(
 
         for g, (d, layers) in enumerate(groups):
             pad = W - len(layers) * Cr
+            k = hbm_idx.index(g) if is_hbm[g] else -1
             for sg in range(G):
                 pieces = [xs[sg][i] for i in layers]
                 if pad:
                     pieces.append(jnp.zeros((S, pad), dtype))
-                rings[g][pl.ds(sg * d + slots[g], 1)] = jnp.concatenate(pieces, axis=1)[None]
+                new_tile = jnp.concatenate(pieces, axis=1)
+                if not is_hbm[g]:
+                    rings[g][pl.ds(sg * d + slots[g], 1)] = new_tile[None]
+                    continue
+                @pl.when(t >= 2)
+                def _(k=k, g=g, sg=sg, d=d):
+                    wr_dma(k, g, sg, (t - 2) % d if d > 1 else 0, parity).wait()
+                wr_stage[g][parity, pl.ds(sg * S, S)] = new_tile
+                wr_dma(k, g, sg, slots[g], parity).start()
+
+        @pl.when(t + 1 < total)
+        def _():
+            for k, g in enumerate(hbm_idx):
+                d = groups[g][0]
+                for sg in range(G):
+                    tap_dma(k, g, sg, (t + 1) % d, nparity).start()
 
         # blocked post1 with the conditioning bias folded in, then post2
         h = [jax.nn.relu(skip_acc[sg]).astype(dtype) for sg in range(G)]
@@ -259,6 +327,11 @@ def _ae_kernel_hbm(
             tuple(jnp.zeros((S, 128), jnp.int32) for _ in range(G)),
         ),
     )
+    for t_last in range(max(total - 2, 0), total):
+        for k, g in enumerate(hbm_idx):
+            d = groups[g][0]
+            for sg in range(G):
+                wr_dma(k, g, sg, t_last % d if d > 1 else 0, t_last % 2).wait()
 
 
 def _build_hbm_weights(params: dict, cfg: WaveNetAEConfig, dtype):
@@ -292,7 +365,10 @@ def _build_hbm_weights(params: dict, cfg: WaveNetAEConfig, dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "n_steps", "interpret", "dtype", "n_stream_groups"),
+    static_argnames=(
+        "cfg", "n_steps", "interpret", "dtype", "n_stream_groups",
+        "rings_in_hbm", "hbm_ring_min_dilation",
+    ),
 )
 def generate_tokens_fused_hbm(
     params: dict,
@@ -304,6 +380,8 @@ def generate_tokens_fused_hbm(
     interpret: bool = False,
     n_stream_groups: int = 1,
     dtype=jnp.float32,
+    rings_in_hbm: bool = False,
+    hbm_ring_min_dilation: int = 32,
 ) -> jax.Array:
     """Conditioned decode with HBM-resident weights + conditioning tables —
     same contract as :func:`kernels.wavenet_ae_decode.generate_tokens_fused`
@@ -311,7 +389,10 @@ def generate_tokens_fused_hbm(
 
     ``n_stream_groups=G`` serves ``G * 8`` independent utterances from one
     kernel; the weight + conditioning stream is shared across groups (see
-    kernels/wavenet_decode_hbm.py)."""
+    kernels/wavenet_decode_hbm.py).  ``rings_in_hbm=True`` additionally
+    moves the large-dilation ring slots to HBM state with one-step-ahead
+    tap prefetch — the serving-group cap stops being VMEM-ring-bound
+    (same scheme and exactness guarantees as the WaveNet HBM kernel)."""
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
     B, P = prime.shape
@@ -360,20 +441,44 @@ def generate_tokens_fused_hbm(
         jnp.einsum("bfw,wc->bfc", encoding, params["cond_post"]), 0, 1
     )  # [F, G*S, Cs]
 
+    hbm_min_d = hbm_ring_min_dilation if rings_in_hbm else 0
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
         _ae_kernel_hbm, cfg=cfg, total=total, t0_frame_offset=P, F=F,
-        n_stream_groups=G, dtype=dtype,
+        n_stream_groups=G, dtype=dtype, hbm_ring_min_dilation=hbm_min_d,
     )
     Cr, Cs, Q = cfg.de_residual_channel, cfg.de_skip_channel, cfg.quantization_channel
 
+    vmem_groups = [
+        (d, ls) for d, ls in groups if not (hbm_min_d and d >= hbm_min_d)
+    ]
+    n_hbm = len(groups) - len(vmem_groups)
+    tokens_shape = jax.ShapeDtypeStruct(((total // 128) * S_total, 128), jnp.int32)
+    if hbm_min_d:
+        out_shape = (tokens_shape, jax.ShapeDtypeStruct(ring0.shape, dtype))
+        out_specs = (
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        )
+        aliases = {4: 1}  # ring0 operand -> ring-state output
+    else:
+        out_shape = tokens_shape
+        out_specs = pl.BlockSpec(memory_space=pltpu.VMEM)
+        aliases = {}
+    stage_shapes = [pltpu.VMEM((2, G * S, W), dtype) for _ in range(2 * n_hbm)]
+    ring_sem_shapes = (
+        [pltpu.SemaphoreType.DMA((n_hbm, 2, G)) for _ in range(2)]
+        if n_hbm else []
+    )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(((total // 128) * S_total, 128), jnp.int32),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
         + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((G * d, S, W), dtype) for d, _ in groups]
+        out_specs=out_specs,
+        input_output_aliases=aliases,
+        scratch_shapes=[pltpu.VMEM((G * d, S, W), dtype) for d, _ in vmem_groups]
+        + stage_shapes
         + [
             pltpu.VMEM((4, W + Cr, _round_up(2 * Cd, 128)), dtype),  # gate buffers
             pltpu.VMEM((4, Cd, _round_up(Cr, 128) + Cs), dtype),  # proj buffers
@@ -384,13 +489,16 @@ def generate_tokens_fused_hbm(
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+        + ring_sem_shapes,
         interpret=interpret,
     )(
         cur0.astype(dtype), prev0.astype(dtype), w["ecur"], w["eprev"],
         ring0.astype(dtype), w["gate"], w["proj"], w["post"],
         cond_fg.astype(dtype), cond_post.astype(dtype),
     )
+    if hbm_min_d:
+        out = out[0]
     toks = out.reshape(total // 128, S_total, 128)
     toks = jnp.swapaxes(toks, 0, 1).reshape(S_total, total)[:, :n_steps]
     return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]

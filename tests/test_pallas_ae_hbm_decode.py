@@ -54,6 +54,29 @@ def test_ae_hbm_decode_matches_scan():
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
 
 
+def test_ae_hbm_rings_multigroup_matches_scan():
+    """rings_in_hbm moves large-dilation ring slots to HBM state with
+    one-step-ahead tap prefetch (the serving-scale mode); all streams
+    must match the scan decoder exactly.  min_dilation=2 exercises the
+    path on the tiny config (d=2,4,8 groups in HBM)."""
+    params = ae.init_params(jax.random.PRNGKey(11), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 8
+    prime = jax.random.randint(jax.random.PRNGKey(12), (9, P), 0, 32)
+    F = 10
+    encoding = jax.random.normal(jax.random.PRNGKey(13), (9, F, 12)) * 0.3
+
+    ref = ae.generate_tokens(
+        params, encoding, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=80, sample_mode="argmax",
+    )
+    fused = generate_tokens_fused_hbm(
+        params, encoding, prime, cfg=TINY, n_steps=80, interpret=True,
+        n_stream_groups=2, rings_in_hbm=True, hbm_ring_min_dilation=2,
+    )
+    assert fused.shape == (9, 80)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
 def test_ae_hbm_decode_multigroup_matches_scan():
     """n_stream_groups=2 serves 16 independently-conditioned utterances
     from one kernel; every stream must match the scan decoder exactly."""
