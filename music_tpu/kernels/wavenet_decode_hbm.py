@@ -409,15 +409,18 @@ def _decode_kernel_hbm(
                         mm_q8(tap, gw[:W], 1.0, sel=tap[:, off : off + Cr])
                         + mm_q8(x[sg], gw[W:], 1.0)
                     ) * gs
-                    z = (jnp.tanh(fg[:, :Cd]) * jax.nn.sigmoid(fg[:, Cd : 2 * Cd])).astype(dtype)
-                    z_q, z_s = quant_rows(z)
+                    # z = tanh * sigmoid is BOUNDED in (-1, 1): its int8
+                    # scale is statically 1/127 — no max-reduce on the
+                    # chain for the proj matmuls (the largest pack)
+                    zf = jnp.tanh(fg[:, :Cd]) * jax.nn.sigmoid(fg[:, Cd : 2 * Cd])
+                    z_q = jnp.round(zf * 127.0).astype(jnp.int8)
                     dense = jnp.dot(
                         z_q, pw[:, :Cr], preferred_element_type=jnp.int32
-                    ).astype(jnp.float32) * z_s * pds
+                    ).astype(jnp.float32) * (pds * (1.0 / 127.0))
                     x[sg] = (x[sg] + dense).astype(dtype)
                     skip_acc[sg] = skip_acc[sg] + jnp.dot(
                         z_q, pw[:, Crp:], preferred_element_type=jnp.int32
-                    ).astype(jnp.float32) * z_s * pks
+                    ).astype(jnp.float32) * (pks * (1.0 / 127.0))
                     continue
                 if quantized:
                     fg = jnp.dot(tap, gw[:W], preferred_element_type=jnp.float32)
