@@ -122,6 +122,34 @@ def max_stream_groups(
     return max(0, (vmem_budget - shared) // ring_bytes)
 
 
+def calibrate_act_scales(
+    params: dict, cfg: WaveNetConfig, tokens, margin: float = 1.25
+) -> tuple:
+    """Per-layer static int8 scales for the residual-stream activations.
+
+    Runs the conv forward over representative ``tokens`` ([B, T] µ-law
+    codes, e.g. training windows) and records each layer's input-stream
+    max; returns ``tuple(max_i * margin / 127)`` for
+    ``generate_tokens_fused_hbm(act_scales=...)``.  With static scales
+    the quantization of the gate-matmul inputs needs no per-step
+    max-reduce on the decode chain and the scale itself folds into the
+    gate column scales at pack time; activations beyond the calibrated
+    range saturate at ±127 (the ``margin`` headroom guards this)."""
+    from music_tpu.models.wavenet import _gate
+    from music_tpu.ops.conv import (
+        conv1x1, dilated_causal_conv, token_causal_conv,
+    )
+
+    x = token_causal_conv(tokens, params["causal"])
+    scales = []
+    for i, d in enumerate(cfg.dilations):
+        scales.append(float(jnp.max(jnp.abs(x))) * margin / 127.0)
+        fg = dilated_causal_conv(x, params["fg"][i], dilation=d)
+        z = _gate(fg)
+        x = conv1x1(z, params["dense"][i]) + x[:, -z.shape[1]:, :]
+    return tuple(scales)
+
+
 def max_stream_groups_hbm_rings(
     cfg: WaveNetConfig,
     n_streams: int = N_STREAMS,
@@ -170,6 +198,7 @@ def _decode_kernel_hbm(
     dtype,
     weight_dtype,
     int8_matmul: bool,
+    act_scales,
     hbm_ring_min_dilation: int,
     sample_mode: str,
     temperature: float,
@@ -405,10 +434,30 @@ def _decode_kernel_hbm(
                 xs[sg].append(x[sg])
                 if quantized and int8_matmul:
                     off = lane_of_layer[i]
-                    fg = (
-                        mm_q8(tap, gw[:W], 1.0, sel=tap[:, off : off + Cr])
-                        + mm_q8(x[sg], gw[W:], 1.0)
-                    ) * gs
+                    if act_scales is not None:
+                        # calibrated static scales: quantization is one
+                        # multiply+round+clip (no per-step max-reduce) and
+                        # the dequant scale was folded into gs at pack
+                        # time; off-chunk tap lanes saturate harmlessly
+                        # (they multiply zero weights)
+                        inv = 1.0 / act_scales[i]
+                        tap_q = jnp.round(jnp.clip(
+                            tap.astype(jnp.float32) * inv, -127.0, 127.0
+                        )).astype(jnp.int8)
+                        x_q = jnp.round(jnp.clip(
+                            x[sg].astype(jnp.float32) * inv, -127.0, 127.0
+                        )).astype(jnp.int8)
+                        acc = jnp.dot(
+                            tap_q, gw[:W], preferred_element_type=jnp.int32
+                        ) + jnp.dot(
+                            x_q, gw[W:], preferred_element_type=jnp.int32
+                        )
+                        fg = acc.astype(jnp.float32) * gs
+                    else:
+                        fg = (
+                            mm_q8(tap, gw[:W], 1.0, sel=tap[:, off : off + Cr])
+                            + mm_q8(x[sg], gw[W:], 1.0)
+                        ) * gs
                     # z = tanh * sigmoid is BOUNDED in (-1, 1): its int8
                     # scale is statically 1/127 — no max-reduce on the
                     # chain for the proj matmuls (the largest pack)
@@ -695,7 +744,7 @@ def dequantized_params(params: dict, cfg: WaveNetConfig) -> dict:
     static_argnames=(
         "cfg", "n_steps", "interpret", "n_streams", "dtype", "sample_mode",
         "temperature", "n_stream_groups", "weight_dtype", "int8_matmul",
-        "rings_in_hbm", "hbm_ring_min_dilation",
+        "act_scales", "rings_in_hbm", "hbm_ring_min_dilation",
     ),
 )
 def generate_tokens_fused_hbm(
@@ -710,6 +759,7 @@ def generate_tokens_fused_hbm(
     dtype=jnp.float32,
     weight_dtype=None,
     int8_matmul: bool = False,
+    act_scales: tuple | None = None,
     rings_in_hbm: bool = False,
     hbm_ring_min_dilation: int = 32,
     sample_mode: str = "argmax",
@@ -792,13 +842,24 @@ def generate_tokens_fused_hbm(
     buf_dtype = dtype if w_dtype is None else w_dtype
     if int8_matmul and w_dtype != jnp.int8:
         raise ValueError("int8_matmul requires weight_dtype=jnp.int8")
+    if act_scales is not None:
+        if not int8_matmul:
+            raise ValueError("act_scales requires int8_matmul=True")
+        if len(act_scales) != cfg.n_blocks:
+            raise ValueError("need one act scale per block")
+        # fold the static activation scales into the gate column scales:
+        # fg = (tap_q @ Wq + x_q @ Wq) * (act_scale_i * col_scale) exactly
+        w["gate_scale"] = w["gate_scale"] * jnp.asarray(
+            act_scales, jnp.float32
+        )[:, None, None]
 
     hbm_min_d = hbm_ring_min_dilation if rings_in_hbm else 0
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
         _decode_kernel_hbm, cfg=cfg, total=total, n_streams=S,
         n_stream_groups=G, dtype=dtype, weight_dtype=w_dtype,
-        int8_matmul=int8_matmul, hbm_ring_min_dilation=hbm_min_d,
+        int8_matmul=int8_matmul, act_scales=act_scales,
+        hbm_ring_min_dilation=hbm_min_d,
         sample_mode=sample_mode, temperature=temperature,
     )
     Cr, Cd, Cs, Q = (

@@ -258,6 +258,19 @@ def test_hbm_decode_int8_matmul_trained_model_agreement():
     agreement = float((np.asarray(full) == np.asarray(q8)).mean())
     assert agreement >= 0.99, agreement
 
+    # calibrated static activation scales (no per-step max-reduce; scale
+    # folded into the gate column scales at pack time) must match too
+    from music_tpu.kernels.wavenet_decode_hbm import calibrate_act_scales
+
+    scales = calibrate_act_scales(params, TINY, toks)
+    assert len(scales) == TINY.n_blocks and all(s > 0 for s in scales)
+    q8s = generate_tokens_fused_hbm(
+        params, prime, cfg=TINY, n_steps=150, interpret=True,
+        weight_dtype=jnp.int8, int8_matmul=True, act_scales=scales,
+    )
+    agreement_s = float((np.asarray(full) == np.asarray(q8s)).mean())
+    assert agreement_s >= 0.99, agreement_s
+
 
 def test_generate_autoselects_hbm_kernel(tmp_path):
     """The public generate() routes wide-group configs (which the resident
