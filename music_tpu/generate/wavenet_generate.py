@@ -25,6 +25,39 @@ from music_tpu.models import wavenet as wn
 from music_tpu.ops.mulaw import mu_law_decode
 
 
+STEPS_PER_CALL = 16_384
+"""Per-kernel-call decode step cap.
+
+The fused kernels keep their int32 token output whole-array VMEM-resident
+(no grid), so output bytes grow as ``4 * round_up(n_steps, 128) * streams``
+per call — a 10 s decode of 32 streams would alone need ~20.5 MB of the
+16 MB VMEM.  Long decodes are therefore split into <=STEPS_PER_CALL-step
+calls, each re-primed from the previous call's tail (16,384 steps x 16
+streams x 4 B = 1 MB/group — the budget the max_stream_groups helpers
+charge via their ``n_steps`` argument)."""
+
+
+def _chunked_fused(fused, params, rows, *, cfg, n_steps, seed,
+                   step_chunk=STEPS_PER_CALL, **kw):
+    """Run a fused decode kernel in <=step_chunk-step calls, re-priming each
+    call with the previous tail so the VMEM output tile stays bounded.
+    ``seed`` may be a traced scalar (per-chunk offsets keep PRNG streams
+    distinct)."""
+    prime_len = cfg.receptive_field + max(cfg.dilations)
+    outs = []
+    done = 0
+    while done < n_steps:
+        k = min(n_steps - done, step_chunk)
+        codes = fused(
+            params, rows, cfg=cfg, n_steps=k, seed=seed + 7919 * len(outs), **kw
+        )
+        outs.append(codes)
+        done += k
+        if done < n_steps:
+            rows = jnp.concatenate([rows, codes], axis=1)[:, -prime_len:]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+
 def _fused_decode(params, prime, cfg, n_steps, on_tpu, sample_mode, temperature, seed):
     """Pick the right Pallas kernel for this config: the fully-resident one
     when the weights fit VMEM and every dilation group fits one 128-lane
@@ -47,8 +80,8 @@ def _fused_decode(params, prime, cfg, n_steps, on_tpu, sample_mode, temperature,
         else wavenet_decode_hbm.generate_tokens_fused_hbm
     )
     try:
-        return fn(
-            params, prime, cfg=cfg, n_steps=n_steps, interpret=not on_tpu,
+        return _chunked_fused(
+            fn, params, prime, cfg=cfg, n_steps=n_steps, interpret=not on_tpu,
             sample_mode=sample_mode, temperature=temperature, seed=seed,
         )
     except NotImplementedError:
@@ -184,11 +217,16 @@ def generate_batch(
     # program (off-TPU the scan path always wins: interpret-mode Pallas
     # would be slower)
     fused, g_max, rings_in_hbm = None, 1, False
+    # long decodes run as <=STEPS_PER_CALL-step chunked calls, so the
+    # VMEM output budget is charged per CALL, not per request
+    call_steps = min(n_steps, STEPS_PER_CALL)
     if on_tpu:
         res_g = hbm_g = 0
         try:
             wavenet_decode._grouping(cfg)
-            res_g = wavenet_decode.max_stream_groups(cfg, S, dtype)
+            res_g = wavenet_decode.max_stream_groups(
+                cfg, S, dtype, n_steps=call_steps
+            )
         except NotImplementedError:
             pass
         try:
@@ -198,7 +236,9 @@ def generate_batch(
                 and cfg.dilation_channels % 8 == 0
                 and not cfg.use_bias
             ):
-                hbm_g = wavenet_decode_hbm.max_stream_groups(cfg, S, dtype)
+                hbm_g = wavenet_decode_hbm.max_stream_groups(
+                    cfg, S, dtype, n_steps=call_steps
+                )
         except NotImplementedError:
             pass
         if res_g >= 1:
@@ -212,7 +252,9 @@ def generate_batch(
         # group diminishes (docs/BENCHMARKS.md "HBM ring state"), but one
         # bigger launch still beats several sequential ones.
         if fused is not None and n > S * g_max and hbm_g >= 1:
-            hbmr_g = wavenet_decode_hbm.max_stream_groups_hbm_rings(cfg, S, dtype)
+            hbmr_g = wavenet_decode_hbm.max_stream_groups_hbm_rings(
+                cfg, S, dtype, n_steps=call_steps
+            )
             if hbmr_g > g_max:
                 fused = wavenet_decode_hbm.generate_tokens_fused_hbm
                 g_max, rings_in_hbm = hbmr_g, True
@@ -226,8 +268,8 @@ def generate_batch(
                 and fused is wavenet_decode_hbm.generate_tokens_fused_hbm
                 else {}
             )
-            return fused(
-                p, rows, cfg=cfg, n_steps=n_steps, n_streams=S,
+            return _chunked_fused(
+                fused, p, rows, cfg=cfg, n_steps=n_steps, n_streams=S,
                 n_stream_groups=-(-rows.shape[0] // S), dtype=dtype,
                 sample_mode=sample_mode, temperature=temperature,
                 seed=seed_scalar, **extra,

@@ -395,6 +395,15 @@ def generate_tokens_fused_hbm(
     (same scheme and exactness guarantees as the WaveNet HBM kernel)."""
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
+    if rings_in_hbm and hbm_ring_min_dilation < 3 and not interpret:
+        # same race as kernels/wavenet_decode_hbm.py: the one-step-ahead tap
+        # prefetch is only ordered after the slot's write when d >= 3
+        # (interpret-mode DMAs are synchronous, so tests may go lower).
+        raise NotImplementedError(
+            "rings_in_hbm requires hbm_ring_min_dilation >= 3 on hardware: "
+            "d<3 ring groups must stay in VMEM (tap prefetch races the "
+            "previous step's ring write for d=1/2)"
+        )
     B, P = prime.shape
     G = n_stream_groups
     S = N_STREAMS

@@ -104,12 +104,16 @@ def max_stream_groups(
     n_streams: int = N_STREAMS,
     dtype=jnp.float32,
     vmem_budget: int = 14 * 1024 * 1024,
+    n_steps: int = 0,
 ) -> int:
     """Serving groups that fit VMEM next to the resident weights.
 
     Per-group cost: one ring-cache set (``sum(distinct dilations) *
-    n_streams * 128`` elements).  Shared cost: the repacked weights.  The
-    budget leaves ~2 MB of the 16 MB for output tile, one-hots and slack.
+    n_streams * 128`` elements) plus the VMEM-resident int32 token output
+    tile (``round_up(n_steps, 128) * n_streams * 4`` bytes — pass the
+    per-CALL step count; long decodes must be chunked by the caller, see
+    generate/wavenet_generate.py).  Shared cost: the repacked weights.
+    The budget leaves ~2 MB of the 16 MB for one-hots and slack.
     Returns 0 when the weights alone don't fit (use the HBM kernel).
     """
     itemsize = jnp.dtype(dtype).itemsize
@@ -118,12 +122,13 @@ def max_stream_groups(
         cfg.skip_channels, cfg.quantization_channels,
     )
     ring_bytes = sum({d for d in cfg.dilations}) * n_streams * 128 * itemsize
+    out_bytes = _round_up(max(n_steps, 1), 128) * n_streams * 4 if n_steps else 0
     weight_bytes = (
         L * (128 * 2 * Cd + Cr * 2 * Cd + Cd * Cr)  # fgp + fgc + dense
         + L * Cd * Cs + Cs * Cs + Cs * Q            # skip + post1 + post2
         + 2 * Q * Cr                                # embeddings
     ) * itemsize
-    return max(0, (vmem_budget - weight_bytes) // ring_bytes)
+    return max(0, (vmem_budget - weight_bytes) // (ring_bytes + out_bytes))
 
 
 def _decode_kernel(

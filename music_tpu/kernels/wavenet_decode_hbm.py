@@ -100,18 +100,23 @@ def max_stream_groups(
     n_streams: int = N_STREAMS,
     dtype=jnp.float32,
     vmem_budget: int = 14 * 1024 * 1024,
+    n_steps: int = 0,
 ) -> int:
     """How many serving groups fit VMEM for this config.
 
     The dominant per-group cost is the ring-cache set
-    (``sum(distinct dilations) * n_streams * row_lanes`` elements); the
-    shared cost is the gate/proj/post double buffers.  The budget leaves
-    ~2 MB of the 16 MB VMEM for the output tile, one-hots and embeddings.
+    (``sum(distinct dilations) * n_streams * row_lanes`` elements) plus
+    the VMEM-resident int32 token output tile (``round_up(n_steps, 128) *
+    n_streams * 4`` bytes per group — pass the per-CALL step count; long
+    decodes must be chunked by the caller).  The shared cost is the
+    gate/proj/post double buffers.  The budget leaves ~2 MB of the 16 MB
+    VMEM for one-hots and embeddings.
     """
     itemsize = jnp.dtype(dtype).itemsize
     W = _row_lanes(cfg)
     distinct = sorted({d for d in cfg.dilations})
     ring_bytes = sum(distinct) * n_streams * W * itemsize
+    out_bytes = _round_up(max(n_steps, 1), 128) * n_streams * 4 if n_steps else 0
     Cr, Cd, Cs = cfg.residual_channels, cfg.dilation_channels, cfg.skip_channels
     Cg = _round_up(2 * Cd, 128)
     shared = (
@@ -119,7 +124,7 @@ def max_stream_groups(
         + 4 * Cd * (_round_up(Cr, 128) + Cs)   # proj buffers
         + 2 * Cs * _post_block(cfg)            # post buffers
     ) * itemsize
-    return max(0, (vmem_budget - shared) // ring_bytes)
+    return max(0, (vmem_budget - shared) // (ring_bytes + out_bytes))
 
 
 def calibrate_act_scales(
@@ -156,17 +161,21 @@ def max_stream_groups_hbm_rings(
     dtype=jnp.float32,
     min_dilation: int = 32,
     vmem_budget: int = 12 * 1024 * 1024,
+    n_steps: int = 0,
 ) -> int:
     """Serving-group cap with ``rings_in_hbm=True``: only the small-
-    dilation rings (d < min_dilation) and the per-HBM-group [2, G*S, W]
-    tap/write staging pairs cost VMEM per group — typically ~30-60x less
-    than full VMEM rings, so tens of groups fit where 1-2 did."""
+    dilation rings (d < min_dilation), the per-HBM-group [2, G*S, W]
+    tap/write staging pairs and the int32 token output tile
+    (``round_up(n_steps, 128) * n_streams * 4`` bytes — pass the per-CALL
+    step count) cost VMEM per group — typically ~30-60x less than full
+    VMEM rings, so tens of groups fit where 1-2 did."""
     itemsize = jnp.dtype(dtype).itemsize
     W = _row_lanes(cfg)
     distinct = sorted({d for d in cfg.dilations})
     small = [d for d in distinct if d < min_dilation]
     n_hbm = len(distinct) - len(small)
     per_group = (sum(small) + 4 * n_hbm) * n_streams * W * itemsize
+    per_group += _round_up(max(n_steps, 1), 128) * n_streams * 4 if n_steps else 0
     Cr, Cd, Cs = cfg.residual_channels, cfg.dilation_channels, cfg.skip_channels
     Cg = _round_up(2 * Cd, 128)
     shared = (
@@ -802,6 +811,16 @@ def generate_tokens_fused_hbm(
         raise NotImplementedError("fused decode assumes filter_width=2")
     if cfg.use_bias:
         raise NotImplementedError("fused decode assumes use_bias=False")
+    if rings_in_hbm and hbm_ring_min_dilation < 3 and not interpret:
+        # the one-step-ahead tap prefetch reads slot (t+1) mod d while step
+        # t's write to slot t mod d may still be in flight; that is race-free
+        # only when d >= 3 (the write landed >= 2 steps earlier).  interpret
+        # mode is safe because its DMAs are synchronous.
+        raise NotImplementedError(
+            "rings_in_hbm requires hbm_ring_min_dilation >= 3 on hardware: "
+            "d<3 ring groups must stay in VMEM (tap prefetch races the "
+            "previous step's ring write for d=1/2)"
+        )
     B = prime.shape[0]
     S = n_streams
     G = n_stream_groups

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from music_tpu.ops.rnn import linear, linear_init, lstm_cell, lstm_init, lstm_zero_state
+from music_tpu.parallel.vma import varying_zero
 
 NUM_FEATURES = 4
 
@@ -118,9 +119,9 @@ def condition_events(events: jax.Array, meta, cfg: CRnnGanConfig) -> jax.Array:
 
 
 def _key_jitter(key):
-    # shard_map device-variance workaround (see models/seqgan.py:generate):
-    # scan carries must share the per-shard key's data-axis-varying status.
-    return (key[0] % jnp.uint32(1)).astype(jnp.float32)
+    # shard_map device-variance workaround (parallel/vma.py): scan carries
+    # must share the per-shard key's data-axis-varying status.
+    return varying_zero(key, jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "batch", "length"))

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from music_tpu.parallel.vma import varying_zero
 from music_tpu.ops.rnn import (
     embedding_init,
     linear,
@@ -317,13 +318,10 @@ def _engine_scan(
     if d_forward is None:
         d_forward = discriminator_forward
     state = _init_gen_state(g_params, batch, cfg, goal_init_rows)
-    # shard_map device-variance workaround (see models/seqgan.py:generate):
-    # scan carries must share the scanned keys' data-axis-varying status, so
-    # derive numerically-zero-but-key-dependent jitter via `key[0] % 1`.
-    # Relies on JAX not constant-folding `x % 1` across the varying-axis
-    # analysis; regression coverage = the dp trainer tests.
-    jitter_i = (key[0] % jnp.uint32(1)).astype(jnp.int32)
-    jitter_f = jitter_i.astype(jnp.float32)
+    # shard_map device-variance workaround (parallel/vma.py): carries must
+    # share the scanned keys' data-axis-varying status under shard_map.
+    jitter_i = varying_zero(key, jnp.int32)
+    jitter_f = varying_zero(key, jnp.float32)
     state = {
         k: (v + jitter_f if jnp.issubdtype(v.dtype, jnp.floating) else v)
         for k, v in state.items()

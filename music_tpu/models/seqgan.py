@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from music_tpu.parallel.vma import varying_zero
 from music_tpu.ops.rnn import (
     embedding_init,
     linear,
@@ -65,12 +66,19 @@ class GeneratorConfig:
     start_token: int = 0
 
 
-def init_generator(key: jax.Array, cfg: GeneratorConfig, emb_std: float = 1.0) -> dict:
+def init_generator(key: jax.Array, cfg: GeneratorConfig, emb_std: float = 1.0,
+                   init: str = "torch") -> dict:
+    """``init="torch"``: module-default inits (N(0,1) embedding, U(±1/sqrt(H))
+    LSTM/fc — what a fresh G_LSTM gets, SeqGan_Pytorch/generator.py:14-29).
+    ``init="normal"``: EVERY parameter N(0,1) — the target-LSTM oracle init
+    (leak_gan/target.py:30-32), whose peaked conditionals give the
+    oracle-NLL metric room to register quality (a near-uniform torch-init
+    oracle pins NLL at its ln(V) entropy floor)."""
     k1, k2, k3 = jax.random.split(key, 3)
     return {
         "embed": embedding_init(k1, cfg.vocab_size, cfg.emb_dim, std=emb_std),
-        "lstm": lstm_init(k2, cfg.emb_dim, cfg.hidden_dim),
-        "out": linear_init(k3, cfg.hidden_dim, cfg.vocab_size),
+        "lstm": lstm_init(k2, cfg.emb_dim, cfg.hidden_dim, init=init),
+        "out": linear_init(k3, cfg.hidden_dim, cfg.vocab_size, init=init),
     }
 
 
@@ -99,16 +107,10 @@ def generator_nll(params: dict, tokens: jax.Array, cfg: GeneratorConfig) -> jax.
 def generate(params: dict, key: jax.Array, cfg: GeneratorConfig, batch: int) -> jax.Array:
     """Free-running sampling of [batch, seq_len] sequences — one scan
     (reference: per-token Python loop, generator.py:62-88)."""
-    # shard_map device-variance workaround: inside shard_map, lax.scan
-    # requires carries and scanned inputs to agree on which mesh axes they
-    # vary over.  The per-shard `key` (folded with axis_index) is
-    # data-axis-varying; fresh zero carries are unvarying, so the scan would
-    # reject them.  `key[0] % 1` is numerically 0 but data-flow-dependent on
-    # the key, making every carry key-varying.  Relies on JAX NOT
-    # constant-folding `x % 1` across the varying-axis analysis — covered by
-    # the dp trainer tests (tests/test_seqgan.py, tests/test_leakgan.py).
-    jitter_i = (key[0] % jnp.uint32(1)).astype(jnp.int32)
-    jitter_f = jitter_i.astype(jnp.float32)
+    # shard_map device-variance workaround (parallel/vma.py): carries must
+    # share the per-shard key's data-axis-varying status under shard_map.
+    jitter_i = varying_zero(key, jnp.int32)
+    jitter_f = varying_zero(key, jnp.float32)
     h0, c0 = lstm_zero_state(batch, cfg.hidden_dim)
     h0, c0 = h0 + jitter_f, c0 + jitter_f
     tok0 = jnp.full((batch,), cfg.start_token, jnp.int32) + jitter_i

@@ -30,6 +30,7 @@ def dilated_causal_conv(
     dilation: int = 1,
     *,
     precision=None,
+    fuse_taps: bool = False,
 ) -> jax.Array:
     """Valid (no-padding) causal dilated conv.
 
@@ -40,6 +41,13 @@ def dilated_causal_conv(
          ``nn.Conv1d(..., dilation=d)`` with no padding (wavenet/model.py:56-65).
       b: optional ``[Cout]`` bias.
       dilation: dilation rate ``d``.
+      fuse_taps: gather the ``fw`` taps side-by-side and contract with the
+        reshaped ``[fw*Cin, Cout]`` weight in ONE GEMM instead of ``fw``
+        summed GEMMs.  Same math (reassociated adds); ``fw``x the MXU
+        contraction depth, which matters when ``Cin`` (32/64) is far below
+        the 128-lane array — measured +9-17% on the WaveNet train step
+        (docs/BENCHMARKS.md "Training GEMM width A/B").  Decode paths keep
+        the per-tap form (the Pallas kernels consume per-tap packs).
 
     Returns:
       ``[B, T - (fw-1)*d, Cout]``.
@@ -49,6 +57,17 @@ def dilated_causal_conv(
     out_t = T - (fw - 1) * dilation
     if out_t <= 0:
         raise ValueError(f"sequence length {T} too short for fw={fw}, d={dilation}")
+    if fuse_taps:
+        xcat = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(x, k * dilation, k * dilation + out_t, axis=1)
+                for k in range(fw)
+            ],
+            axis=-1,
+        )
+        wcat = w.reshape(fw * w.shape[1], w.shape[2])
+        y = jnp.einsum("btc,cd->btd", xcat, wcat, precision=precision)
+        return y if b is None else y + b
     y = None
     for k in range(fw):
         start = k * dilation

@@ -15,17 +15,29 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from music_tpu.parallel.vma import varying_zero
 
-def lstm_init(key, in_dim: int, hidden: int, dtype=jnp.float32) -> dict:
-    """torch-style init: U(-1/sqrt(H), 1/sqrt(H)) for all weights/biases."""
+
+def lstm_init(key, in_dim: int, hidden: int, dtype=jnp.float32,
+              init: str = "torch") -> dict:
+    """``init="torch"``: U(-1/sqrt(H), 1/sqrt(H)) for all weights/biases
+    (the nn.LSTMCell default).  ``init="normal"``: every parameter
+    N(0, 1) — the target-LSTM oracle init (leak_gan/target.py:30-32
+    re-inits all params with nn.init.normal(std=1.0)), which makes the
+    oracle distribution peaked enough for oracle NLL to register quality."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    bound = 1.0 / np.sqrt(hidden)
-    u = lambda k, shape: jax.random.uniform(k, shape, dtype, -bound, bound)
+    if init == "normal":
+        f = lambda k, shape: jax.random.normal(k, shape, dtype)
+    elif init == "torch":
+        bound = 1.0 / np.sqrt(hidden)
+        f = lambda k, shape: jax.random.uniform(k, shape, dtype, -bound, bound)
+    else:
+        raise ValueError(f"unknown init {init!r}")
     return {
-        "wi": u(k1, (in_dim, 4 * hidden)),
-        "wh": u(k2, (hidden, 4 * hidden)),
-        "bi": u(k3, (4 * hidden,)),
-        "bh": u(k4, (4 * hidden,)),
+        "wi": f(k1, (in_dim, 4 * hidden)),
+        "wh": f(k2, (hidden, 4 * hidden)),
+        "bi": f(k3, (4 * hidden,)),
+        "bh": f(k4, (4 * hidden,)),
     }
 
 
@@ -51,10 +63,10 @@ def lstm_scan(params: dict, xs: jax.Array, state=None):
     B = xs.shape[0]
     H = params["wh"].shape[0]
     if state is None:
-        # derive the zero state from xs (0 * slice) so its device-varying
-        # status matches the scan inputs under shard_map (scan carries must
-        # agree in varying manual axes); numerically identical to zeros
-        zero = 0.0 * xs[:, 0, :1]
+        # derive the zero state from xs so its device-varying status matches
+        # the scan inputs under shard_map (parallel/vma.py); numerically
+        # identical to zeros
+        zero = varying_zero(xs, xs.dtype)
         state = (zero + jnp.zeros((B, H), xs.dtype), zero + jnp.zeros((B, H), xs.dtype))
 
     def step(carry, x_t):
@@ -65,8 +77,18 @@ def lstm_scan(params: dict, xs: jax.Array, state=None):
     return jnp.swapaxes(hs, 0, 1), state
 
 
-def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> dict:
+def linear_init(key, in_dim: int, out_dim: int, dtype=jnp.float32,
+                init: str = "torch") -> dict:
+    """``init="torch"``: nn.Linear default U(±1/sqrt(in));
+    ``init="normal"``: N(0, 1) everywhere (leak_gan/target.py:30-32)."""
     k1, k2 = jax.random.split(key)
+    if init == "normal":
+        return {
+            "w": jax.random.normal(k1, (in_dim, out_dim), dtype),
+            "b": jax.random.normal(k2, (out_dim,), dtype),
+        }
+    if init != "torch":
+        raise ValueError(f"unknown init {init!r}")
     bound = 1.0 / np.sqrt(in_dim)
     return {
         "w": jax.random.uniform(k1, (in_dim, out_dim), dtype, -bound, bound),

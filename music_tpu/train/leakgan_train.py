@@ -48,6 +48,11 @@ class LeakGanTrainConfig:
     grad_clip: float = 5.0
     rollout_num: int = 4
     generated_num: int = 1024
+    # target-LSTM oracle init: "normal" = N(0,1) for EVERY parameter
+    # (leak_gan/target.py:30-32), giving oracle NLL range to move in;
+    # "torch" (module defaults) yields a near-uniform oracle whose NLL is
+    # pinned at its ln(V) entropy floor (VERDICT r2)
+    oracle_init: str = "normal"
 
 
 class LeakGanTrainer:
@@ -87,13 +92,16 @@ class LeakGanTrainer:
             self._gan_tp = None
             self._d_specs = P()
         # oracle for the NLL metric (leak_gan/target.py protocol): a
-        # randomly-initialized LSTM LM over the same vocab
+        # randomly-initialized LSTM LM over the same vocab, N(0,1)-init'd
+        # per target.py:30-32 so its conditionals are peaked (tc.oracle_init)
         self.oracle_cfg = sg.GeneratorConfig(
             vocab_size=cfg.vocab_size, emb_dim=cfg.worker_emb_dim,
             hidden_dim=cfg.worker_hidden, seq_len=cfg.seq_len,
             start_token=cfg.start_token,
         )
-        self.oracle_params = sg.init_generator(self.keys.next(), self.oracle_cfg)
+        self.oracle_params = sg.init_generator(
+            self.keys.next(), self.oracle_cfg, init=tc.oracle_init
+        )
 
         def tx(lr):
             return optax.chain(
@@ -284,16 +292,23 @@ class LeakGanTrainer:
 
             k_gen, k_tr = jax.random.split(key)
             n_gen_calls = -(-N // B)
-            negs = []
-            for i in range(n_gen_calls):
-                negs.append(
-                    lg.gen_samples(
-                        g_params, d_params, jax.random.fold_in(k_gen, i), B,
-                        cfg=cfg, temperature=cfg.temperature,
-                        d_forward=d_forward,
-                    )
+
+            # scan (not unroll) the negative-regeneration calls: a real
+            # corpus is ~10k rows = 157 generation scans, which would
+            # otherwise explode trace/compile time
+            def gen_one(_, k):
+                return 0, lg.gen_samples(
+                    g_params, d_params, k, B, cfg=cfg,
+                    temperature=cfg.temperature, d_forward=d_forward,
                 )
-            negative = jnp.concatenate(negs)[:N]
+
+            _, negs = jax.lax.scan(
+                gen_one, 0,
+                jax.vmap(lambda i: jax.random.fold_in(k_gen, i))(
+                    jnp.arange(n_gen_calls)
+                ),
+            )
+            negative = negs.reshape(n_gen_calls * B, T)[:N]
             tokens = jnp.concatenate([real_data, negative])
             labels = jnp.concatenate(
                 [jnp.ones((N,), jnp.int32), jnp.zeros((N,), jnp.int32)]
@@ -388,12 +403,28 @@ class LeakGanTrainer:
             )
             return sg.generator_nll(oracle_params, samples, self.oracle_cfg)
 
+        @jax.jit
+        def eval_nll_fn(g_params, d_params, data, key):
+            """Teacher-forced per-token generator NLL (nats) on held-out
+            sequences — the real-corpus quality metric (the reference ships
+            eval_corpus.npy for exactly this; its pre_worker loss is the
+            V-diluted variant, utils.py:506-514)."""
+            rets = lg.pre_engine(
+                g_params, d_params, data, key, cfg=cfg, d_forward=d_forward
+            )
+            p = jnp.clip(rets["prediction"], 1e-20, 1.0)
+            picked = jnp.take_along_axis(
+                jnp.log(p), data[..., None], axis=-1
+            )
+            return -jnp.mean(picked)
+
         self._pre_step = pre_step
         self._pre_phase = pre_phase
         self._d_step = d_step
         self._d_phase = d_phase
         self._adv_step = adv_step
         self._oracle_nll = oracle_nll
+        self._eval_nll = eval_nll_fn
 
     # ------------------------------------------------------------------
 
@@ -467,6 +498,41 @@ class LeakGanTrainer:
                 self.oracle_params, self.g_params, self.d_params, self.keys.next()
             )
         )
+
+    def oracle_samples(self, n: int) -> np.ndarray:
+        """Synthetic "real" data drawn from the oracle — the closed-loop
+        corpus of the target-LSTM protocol (leak_gan/target.py:115-116)."""
+        out = []
+        for _ in range(-(-n // self.tc.batch_size)):
+            out.append(
+                np.asarray(
+                    sg.generate(
+                        self.oracle_params, self.keys.next(), self.oracle_cfg,
+                        self.tc.batch_size,
+                    )
+                )
+            )
+        return np.concatenate(out)[:n]
+
+    def eval_nll(self, data: np.ndarray) -> float:
+        """Mean teacher-forced per-token NLL (nats) of the generator over
+        held-out sequences, processed in whole batches (goal_init is a
+        per-batch-row parameter, model.py:149-151)."""
+        bs = self.tc.batch_size
+        n = (len(data) // bs) * bs
+        if n == 0:
+            raise ValueError("data smaller than one batch")
+        data = np.asarray(data[:n], np.int32)
+        vals = [
+            float(
+                self._eval_nll(
+                    self.g_params, self.d_params,
+                    jnp.asarray(data[lo : lo + bs]), self.keys.next(),
+                )
+            )
+            for lo in range(0, n, bs)
+        ]
+        return float(np.mean(vals))
 
     # ------------------------------------------------------------------
 

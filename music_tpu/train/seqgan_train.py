@@ -43,6 +43,10 @@ class SeqGanConfig:
     g_lr: float = 1e-2
     d_lr: float = 1e-2
     grad_clip: float = 5.0        # seqgan.py:35
+    # "normal" = N(0,1) everywhere, the SeqGAN-paper synthetic-oracle init
+    # (leak_gan/target.py:30-32); the reference's own train.py:61 used
+    # module defaults, whose near-uniform oracle pins NLL at ln(V) (div.)
+    oracle_init: str = "normal"
 
 
 def write_samples(path: str | Path, samples: np.ndarray):
@@ -94,9 +98,14 @@ class SeqGanTrainer:
             return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
         self.keys = KeySeq(seed)
-        # oracle = randomly-initialized generator with N(0,1) LSTM-ish init
-        # (the reference uses default inits for the oracle too, train.py:61)
-        self.oracle_params = sg.init_generator(self.keys.next(), cfg.g)
+        # oracle = randomly-initialized generator; oracle_init="normal"
+        # gives the target-LSTM N(0,1) init (leak_gan/target.py:30-32 /
+        # the SeqGAN paper's synthetic oracle) so oracle NLL has range to
+        # register quality; "torch" reproduces the reference's train.py:61
+        # module-default oracle (NLL pinned near ln V)
+        self.oracle_params = sg.init_generator(
+            self.keys.next(), cfg.g, init=cfg.oracle_init
+        )
         self.g_params = sg.init_generator(self.keys.next(), cfg.g)
         self.d_params = sg.init_discriminator(self.keys.next(), cfg.d)
 

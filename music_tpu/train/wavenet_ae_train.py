@@ -75,7 +75,7 @@ def _seq_sharded_encode(params, inputs, cfg: ae.WaveNetAEConfig, sp: int):
         fill = margin[:, -d:, :]
         x_ext = left_halo_exchange(x, d, "seq", first_shard_fill=fill)
         h = jax.nn.relu(x_ext)
-        h = dilated_causal_conv(h, params["en_dil"][i], dilation=d)
+        h = dilated_causal_conv(h, params["en_dil"][i], dilation=d, fuse_taps=True)
         h = jax.nn.relu(h)
         h = conv1x1(h, params["en_dense"][i])
         x = h + x  # residual: x_ext[:, d:] == x
@@ -83,7 +83,7 @@ def _seq_sharded_encode(params, inputs, cfg: ae.WaveNetAEConfig, sp: int):
         remaining -= d
         if remaining > 0:  # the last layer consumes the margin entirely
             mh = jax.nn.relu(margin)
-            mh = dilated_causal_conv(mh, params["en_dil"][i], dilation=d)
+            mh = dilated_causal_conv(mh, params["en_dil"][i], dilation=d, fuse_taps=True)
             mh = jax.nn.relu(mh)
             mh = conv1x1(mh, params["en_dense"][i])
             margin = mh + margin[:, d:, :]
@@ -133,7 +133,7 @@ def _seq_sharded_decode_loss(params, inputs, targets, encoding, cfg, sp):
 
         fill = margin[:, -d:, :]
         x_ext = left_halo_exchange(x, d, "seq", first_shard_fill=fill)
-        fg = dilated_causal_conv(x_ext, params["fg"][i], dilation=d)  # [B, w, 2Cd]
+        fg = dilated_causal_conv(x_ext, params["fg"][i], dilation=d, fuse_taps=True)  # [B, w, 2Cd]
         fg = fg + cond(remaining + s * w, w, params["cond_fg"][i])
         z = jnp.tanh(fg[..., Cd:]) * jax.nn.sigmoid(fg[..., :Cd])
         x = conv1x1(z, params["dense"][i]) + x
@@ -141,7 +141,7 @@ def _seq_sharded_decode_loss(params, inputs, targets, encoding, cfg, sp):
         skip_total = skip if skip_total is None else skip_total + skip
 
         if remaining > 0:
-            mfg = dilated_causal_conv(margin, params["fg"][i], dilation=d)
+            mfg = dilated_causal_conv(margin, params["fg"][i], dilation=d, fuse_taps=True)
             mfg = mfg + cond(0, remaining, params["cond_fg"][i])
             mz = jnp.tanh(mfg[..., Cd:]) * jax.nn.sigmoid(mfg[..., :Cd])
             margin = conv1x1(mz, params["dense"][i]) + margin[:, d:, :]
@@ -185,7 +185,7 @@ def _sharded_ae_loss(params, tokens, cfg: ae.WaveNetAEConfig, sp: int = 1):
     x = token_causal_conv(inputs, params["de_causal"])
     skip_total = None
     for i, d in enumerate(cfg.dilations):
-        fg = dilated_causal_conv(x, params["fg"][i], dilation=d)
+        fg = dilated_causal_conv(x, params["fg"][i], dilation=d, fuse_taps=True)
         cond = conv1x1(_upsample_cond(encoding, fg.shape[1]), params["cond_fg"][i])
         fg = fg + cond
         z = jnp.tanh(fg[..., Cd:]) * jax.nn.sigmoid(fg[..., :Cd])

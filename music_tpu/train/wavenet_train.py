@@ -100,8 +100,12 @@ def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: in
     out_width = wl_local
     skip_total = None
     for i, d in enumerate(cfg.dilations):
+        # fuse_taps: one [B·T, 2Cr]x[2Cr, 2Cd] GEMM per layer — the train
+        # step is lane-width-bound and the doubled contraction depth is
+        # worth +9-17% (docs/BENCHMARKS.md "Training GEMM width A/B")
         fg = dilated_causal_conv(
-            x, params["fg"][i], params["fg_b"][i] if use_bias else None, dilation=d
+            x, params["fg"][i], params["fg_b"][i] if use_bias else None,
+            dilation=d, fuse_taps=True,
         )
         z = jnp.tanh(fg[..., : cfg.dilation_channels]) * jax.nn.sigmoid(
             fg[..., cfg.dilation_channels :]

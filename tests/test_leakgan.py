@@ -242,3 +242,40 @@ def test_dp_tp_trainer_matches_dp_only():
 
     # D params really live sharded over `model`
     assert "model" in str(tr_tp.d_params["out"]["w"].sharding.spec)
+
+
+def test_eval_nll_surface():
+    """eval_nll: teacher-forced per-token NLL on held-out data — finite,
+    ~ln(V) at init, and (being an average of per-batch NLLs) deterministic
+    in the data."""
+    tc = LeakGanTrainConfig(cfg=CFG, batch_size=B)
+    tr = LeakGanTrainer(tc, seed=5)
+    data = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(9), (3 * B, CFG.seq_len), 1,
+                           CFG.vocab_size), np.int32)
+    nll = tr.eval_nll(data)
+    assert np.isfinite(nll)
+    # untrained generator on random tokens: close to the uniform floor
+    assert abs(nll - np.log(CFG.vocab_size)) < 1.5
+
+
+def test_oracle_init_normal_is_peaked():
+    """oracle_init="normal" (target.py:30-32) must produce an oracle whose
+    own samples have NLL well below ln(V) — i.e. a peaked distribution the
+    metric can register improvement against (VERDICT r2 missing #2)."""
+    from music_tpu.models import seqgan as sg
+
+    ocfg = sg.GeneratorConfig(vocab_size=200, emb_dim=8, hidden_dim=8, seq_len=10)
+    k = jax.random.PRNGKey(3)
+    p_norm = sg.init_generator(k, ocfg, init="normal")
+    p_torch = sg.init_generator(k, ocfg, init="torch")
+    samples_n = sg.generate(p_norm, jax.random.PRNGKey(4), ocfg, 64)
+    self_nll_norm = float(sg.generator_nll(p_norm, samples_n, ocfg))
+    samples_t = sg.generate(p_torch, jax.random.PRNGKey(4), ocfg, 64)
+    self_nll_torch = float(sg.generator_nll(p_torch, samples_t, ocfg))
+    floor = np.log(ocfg.vocab_size)
+    # torch-default oracle sits at its entropy floor; N(0,1) is peaked
+    # (the gap widens with hidden_dim — ~0.9 nats already at hidden 8)
+    assert abs(self_nll_torch - floor) < 0.4
+    assert self_nll_norm < floor - 0.5
+    assert self_nll_norm < self_nll_torch - 0.4

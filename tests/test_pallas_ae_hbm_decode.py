@@ -122,3 +122,20 @@ def test_ae_hbm_decode_wide_group_matches_scan():
         params, encoding, prime, cfg=WIDE, n_steps=50, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+def test_ae_hbm_rings_min_dilation_hardware_guard():
+    """interpret=False + hbm_ring_min_dilation < 3 must refuse (the tap
+    prefetch races the previous step's ring write for d=1/2; only
+    interpret-mode synchronous DMAs make lower values safe)."""
+    import pytest
+
+    params = ae.init_params(jax.random.PRNGKey(11), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 8
+    prime = jax.random.randint(jax.random.PRNGKey(12), (1, P), 0, 32)
+    encoding = jax.random.normal(jax.random.PRNGKey(13), (1, 10, 12)) * 0.3
+    with pytest.raises(NotImplementedError, match="hbm_ring_min_dilation"):
+        generate_tokens_fused_hbm(
+            params, encoding, prime, cfg=TINY, n_steps=64,
+            rings_in_hbm=True, hbm_ring_min_dilation=2,
+        )

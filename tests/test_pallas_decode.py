@@ -76,3 +76,28 @@ def test_fused_decode_16_stream_bf16_mode_interpret():
     )
     assert out.shape == (3, 20)
     assert (out >= 0).all() and (out < 32).all()
+
+
+def test_chunked_fused_decode_matches_single_call():
+    """Long decodes are split into bounded-output kernel calls re-primed
+    from the previous tail (generate/_chunked_fused, ADVICE r2: the VMEM
+    token output tile grows with n_steps).  Argmax chunked == unchunked
+    exactly, since prime_len = receptive_field + max dilation rebuilds the
+    full ring state."""
+    import functools
+
+    from music_tpu.generate.wavenet_generate import _chunked_fused
+
+    params = wn.init_params(jax.random.PRNGKey(2), TINY)
+    P = TINY.receptive_field + max(TINY.dilations)
+    prime = jax.random.randint(jax.random.PRNGKey(3), (1, P), 0, 32)
+
+    fn = functools.partial(generate_tokens_fused, interpret=True)
+    one_call = _chunked_fused(
+        fn, params, prime, cfg=TINY, n_steps=300, seed=0, step_chunk=4096
+    )
+    chunked = _chunked_fused(
+        fn, params, prime, cfg=TINY, n_steps=300, seed=0, step_chunk=128
+    )
+    assert chunked.shape == (1, 300)
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(one_call))

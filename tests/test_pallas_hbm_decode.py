@@ -284,3 +284,17 @@ def test_generate_autoselects_hbm_kernel(tmp_path):
     )
     assert (tmp_path / "wide.wav").exists()
     assert audio.shape == (40,)
+
+
+def test_hbm_rings_min_dilation_hardware_guard():
+    """On hardware (interpret=False) the one-step-ahead tap prefetch races
+    the previous step's ring write for d < 3 — the wrapper must refuse
+    instead of producing silently wrong tokens (ADVICE r2)."""
+    params = wn.init_params(jax.random.PRNGKey(0), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 16
+    prime = jax.random.randint(jax.random.PRNGKey(1), (1, P), 0, 32)
+    with pytest.raises(NotImplementedError, match="hbm_ring_min_dilation"):
+        generate_tokens_fused_hbm(
+            params, prime, cfg=TINY, n_steps=128,
+            rings_in_hbm=True, hbm_ring_min_dilation=2,
+        )

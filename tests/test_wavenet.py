@@ -167,3 +167,21 @@ def test_loss_decreases_on_tiny_problem():
         params, opt_state, loss = step(params, opt_state)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.5, losses
+
+
+def test_dilated_conv_fuse_taps_equivalent():
+    """fuse_taps gathers the fw taps into ONE GEMM (the train-step MFU win,
+    docs/BENCHMARKS.md "Training GEMM width A/B") — same math, reassociated
+    adds only."""
+    from music_tpu.ops.conv import dilated_causal_conv
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 50, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 12))
+    b = jax.random.normal(jax.random.PRNGKey(2), (12,))
+    for d in (1, 2, 4):
+        ref = dilated_causal_conv(x, w, b, dilation=d)
+        fused = dilated_causal_conv(x, w, b, dilation=d, fuse_taps=True)
+        assert fused.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(ref), rtol=1e-5, atol=1e-6
+        )
