@@ -1,0 +1,105 @@
+"""Same-process A/B: batched vs per-stream-group HBM ring-state DMAs
+(VERDICT r2 action #4 / STATUS r3 candidate #2).
+
+Round 2 measured ~19 µs marginal step cost per extra serving group in
+`rings_in_hbm` mode.  The step body already round-robins groups within each
+layer (the verdict's literal suggestion); the actual per-group overhead is
+the per-(dilation-group x stream-group) staging DMA traffic: at G=8 with 5
+HBM dilation groups, 40 tap DMAs in + 40 ring writes out + their semaphore
+waits per step.  ``batched_ring_dma=True`` re-packs the HBM ring state
+slot-major so each step needs ONE [G, S, W] DMA in + out per dilation
+group (5 + 5 at any G).
+
+Run: python -m benchmarks.hbm_rings_ab [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_tpu.kernels.wavenet_decode_hbm import generate_tokens_fused_hbm
+from music_tpu.models import wavenet as wn
+
+FULL = wn.WaveNetConfig()
+SCALED = wn.WaveNetConfig(
+    filter_width=2,
+    dilations=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512) * 4,
+    dilation_channels=64,
+    residual_channels=64,
+    skip_channels=1024,
+    quantization_channels=256,
+    use_bias=False,
+)
+
+
+def bench(cfg, params, G, batched, n_steps=8192, n_iters=3):
+    S = 16
+    P = cfg.receptive_field + max(cfg.dilations)
+    fn = functools.partial(
+        generate_tokens_fused_hbm, cfg=cfg, n_steps=n_steps, n_streams=S,
+        n_stream_groups=G, dtype=jnp.bfloat16, rings_in_hbm=True,
+        batched_ring_dma=batched,
+    )
+
+    def run(seed):
+        prime = jax.random.randint(
+            jax.random.PRNGKey(seed), (G * S, P), 0, cfg.quantization_channels
+        )
+        return np.asarray(fn(params, prime))
+
+    nonce = int(time.time() * 1000) % 2**30
+    run(nonce)
+    run(nonce + 1)
+    times = []
+    for i in range(n_iters):
+        t0 = time.perf_counter()
+        run(nonce + 2 + i)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    return {
+        "G": G, "batched": batched, "streams": G * S,
+        "us_per_step": round(dt / n_steps * 1e6, 1),
+        "total_samples_per_sec": round(G * S * n_steps / dt, 0),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    out = {"metric": "hbm_rings_ab", "results": {}}
+    plans = (
+        [("scaled", SCALED, [1, 4])] if args.quick
+        else [("scaled", SCALED, [1, 2, 4, 6]), ("full", FULL, [2, 8])]
+    )
+    for name, cfg, gs in plans:
+        params = wn.init_params(jax.random.PRNGKey(0), cfg)
+        rows = []
+        for G in gs:
+            # interleave arms: old, new, so relay drift hits both equally
+            for batched in (False, True):
+                r = bench(cfg, params, G, batched)
+                rows.append(r)
+                print(f"# {name} {r}", file=sys.stderr)
+        out["results"][name] = rows
+        # marginal cost per group for the largest-G pair
+        for batched in (False, True):
+            sel = [r for r in rows if r["batched"] == batched]
+            if len(sel) >= 2:
+                a, b = sel[0], sel[-1]
+                marg = (b["us_per_step"] - a["us_per_step"]) / (b["G"] - a["G"])
+                out["results"][f"{name}_marginal_us_per_group_batched{int(batched)}"] = round(marg, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

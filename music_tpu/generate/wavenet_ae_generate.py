@@ -59,11 +59,27 @@ def generate(
     if backend == "fused" and sample_mode == "argmax" and tokens.shape[1] >= fused_min:
         from music_tpu.kernels.wavenet_ae_decode import generate_tokens_fused
 
-        prime = tokens[:, :fused_min]
-        out_codes = generate_tokens_fused(
-            params, encoding, prime, cfg=cfg, n_steps=n_steps,
-            interpret=jax.default_backend() != "tpu",
-        )
+        # chunk long decodes: the kernel's int32 token output is VMEM-
+        # resident, so each call is bounded and re-primed from the previous
+        # tail with `pos_offset` keeping the frame conditioning on the
+        # utterance clock (same scheme as wavenet_generate.STEPS_PER_CALL)
+        from music_tpu.generate.wavenet_generate import STEPS_PER_CALL
+
+        interpret = jax.default_backend() != "tpu"
+        ctx = tokens[:, :fused_min]
+        pos = fused_min  # absolute time of the next sample
+        outs = []
+        while pos - fused_min < n_steps:
+            k = min(n_steps - (pos - fused_min), STEPS_PER_CALL)
+            chunk = generate_tokens_fused(
+                params, encoding, ctx, cfg=cfg, n_steps=k,
+                pos_offset=pos - ctx.shape[1], interpret=interpret,
+            )
+            outs.append(chunk)
+            pos += k
+            if pos - fused_min < n_steps:
+                ctx = jnp.concatenate([ctx, chunk], axis=1)[:, -fused_min:]
+        out_codes = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
     else:
         prime_len = min(cfg.receptive_field, tokens.shape[1])
         prime = tokens[:, :prime_len]

@@ -88,9 +88,14 @@ def _build_kernel_weights(params: dict, cfg: WaveNetAEConfig, dtype):
 
 
 def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
-                         cfg: WaveNetAEConfig, row_lanes: int = 128):
+                         cfg: WaveNetAEConfig, row_lanes: int = 128,
+                         pos_offset: int = 0):
     """Parallel prime over the conditioned decoder; extracts ring init tiles
-    (slot k of group g <- abs time P - d_g + k) and boot one-hots."""
+    (slot k of group g <- abs time P - d_g + k) and boot one-hots.
+
+    ``pos_offset``: absolute time of ``prime[:, 0]`` — nonzero when a long
+    decode is chunked and re-primed from a mid-utterance tail, so the
+    per-frame conditioning stays aligned to the utterance clock."""
     L, Cr, Q = cfg.n_blocks, cfg.de_residual_channel, cfg.quantization_channel
     Cd = cfg.de_dilation_channel
     D_max = max(cfg.dilations)
@@ -111,7 +116,7 @@ def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
         # decoder's frame = t // pool semantics
         o = offsets[-1] + d
         frames = jnp.minimum(
-            (jnp.arange(fg.shape[1]) + o) // cfg.en_pool_kernel_size,
+            (jnp.arange(fg.shape[1]) + o + pos_offset) // cfg.en_pool_kernel_size,
             encoding.shape[1] - 1,
         )
         cond = jnp.take(
@@ -143,7 +148,9 @@ def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
     Cs = cfg.de_skip_channel
     z_all = jnp.concatenate(z_last, axis=-1)  # [S, L*Cd]
     h = jax.nn.relu(z_all @ params["skip"].reshape(-1, Cs))
-    frame_last = min((P - 1) // cfg.en_pool_kernel_size, encoding.shape[1] - 1)
+    frame_last = min(
+        (pos_offset + P - 1) // cfg.en_pool_kernel_size, encoding.shape[1] - 1
+    )
     cond_post_last = jnp.einsum(
         "bw,wc->bc", encoding[:, frame_last], params["cond_post"]
     )
@@ -155,7 +162,7 @@ def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
     return init, cur0, prev0, s0
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret", "dtype"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret", "dtype", "pos_offset"))
 def generate_tokens_fused(
     params: dict,
     encoding: jax.Array,
@@ -165,12 +172,15 @@ def generate_tokens_fused(
     n_steps: int,
     interpret: bool = False,
     dtype=jnp.float32,
+    pos_offset: int = 0,
 ) -> jax.Array:
     """Conditioned fused decode: ``n_steps`` codes per stream after priming.
 
     ``encoding``: [B, F, W] bottleneck frames (from models.wavenet_ae.encode);
-    frame alignment is absolute-time: decode position ``prime_len + t`` uses
-    frame ``(prime_len + t) // pool``.
+    frame alignment is absolute-time: decode position ``pos_offset +
+    prime_len + t`` uses frame ``(pos_offset + prime_len + t) // pool``
+    (``pos_offset`` > 0 when a chunked long decode re-primes from a
+    mid-utterance tail — generate/wavenet_ae_generate.py).
     """
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
@@ -186,7 +196,9 @@ def generate_tokens_fused(
         )
     groups, _ = _grouping(cfg)
 
-    ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, encoding, cfg)
+    ring0, cur0, prev0, s0 = _collect_prime_state(
+        params, prime, encoding, cfg, pos_offset=pos_offset
+    )
     w = _build_kernel_weights(params, cfg, dtype)
     # per-frame bias tables: conditioning is per-stream, so the frame axis
     # is S*F with stream s's frames at rows [s*F, (s+1)*F) and the kernel's
@@ -199,7 +211,8 @@ def generate_tokens_fused(
 
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
-        _ae_kernel_wrapper, cfg=cfg, total=total, t0_frame_offset=P, F=F, dtype=dtype
+        _ae_kernel_wrapper, cfg=cfg, total=total, t0_frame_offset=pos_offset + P,
+        F=F, dtype=dtype
     )
 
     out = pl.pallas_call(

@@ -367,7 +367,7 @@ def _build_hbm_weights(params: dict, cfg: WaveNetAEConfig, dtype):
     jax.jit,
     static_argnames=(
         "cfg", "n_steps", "interpret", "dtype", "n_stream_groups",
-        "rings_in_hbm", "hbm_ring_min_dilation",
+        "rings_in_hbm", "hbm_ring_min_dilation", "pos_offset",
     ),
 )
 def generate_tokens_fused_hbm(
@@ -382,6 +382,7 @@ def generate_tokens_fused_hbm(
     dtype=jnp.float32,
     rings_in_hbm: bool = False,
     hbm_ring_min_dilation: int = 32,
+    pos_offset: int = 0,
 ) -> jax.Array:
     """Conditioned decode with HBM-resident weights + conditioning tables —
     same contract as :func:`kernels.wavenet_ae_decode.generate_tokens_fused`
@@ -432,7 +433,9 @@ def generate_tokens_fused_hbm(
         )
     groups, _ = _grouping(cfg, W)
 
-    ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, encoding, cfg, W)
+    ring0, cur0, prev0, s0 = _collect_prime_state(
+        params, prime, encoding, cfg, W, pos_offset=pos_offset
+    )
     if G > 1:
         # repack [tiles, G*S, W] -> [G*tiles, S, W]: group sg's tiles first
         n_tiles = ring0.shape[0]
@@ -453,7 +456,7 @@ def generate_tokens_fused_hbm(
     hbm_min_d = hbm_ring_min_dilation if rings_in_hbm else 0
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
-        _ae_kernel_hbm, cfg=cfg, total=total, t0_frame_offset=P, F=F,
+        _ae_kernel_hbm, cfg=cfg, total=total, t0_frame_offset=pos_offset + P, F=F,
         n_stream_groups=G, dtype=dtype, hbm_ring_min_dilation=hbm_min_d,
     )
     Cr, Cs, Q = cfg.de_residual_channel, cfg.de_skip_channel, cfg.quantization_channel

@@ -209,6 +209,7 @@ def _decode_kernel_hbm(
     int8_matmul: bool,
     act_scales,
     hbm_ring_min_dilation: int,
+    batched_ring_dma: bool,
     sample_mode: str,
     temperature: float,
 ):
@@ -329,16 +330,34 @@ def _decode_kernel_hbm(
     # would double the cache footprint and blow the 16 MB budget), then
     # warm up layer 0's weights for step 0.  Stream group sg's dilation
     # group g occupies rows [sg*d_g, (sg+1)*d_g) of rings[g], and rows
-    # [sg*sum(d) + ring_base[g], ...) of the packed init.
+    # [sg*sum(d) + ring_base[g], ...) of the packed init (sg-major layout);
+    # with batched_ring_dma the HBM groups' rows instead live slot-major
+    # AFTER the VMEM region (see the wrapper's repack) so that one slot of
+    # one dilation group across ALL G stream groups is G contiguous rows —
+    # one [G, S, W] DMA per group per step instead of G per-sg DMAs.
     n_tiles = sum(d for d, _ in groups)
+    vmem_tiles = sum(groups[g][0] for g in vmem_idx)
+    vbase, acc = {}, 0
+    for g in vmem_idx:
+        vbase[g] = acc
+        acc += groups[g][0]
+    hbase, acc = {}, 0
+    for g in hbm_idx:
+        hbase[g] = acc
+        acc += groups[g][0]
     # with hbm_rings the init input doubles as the live ring state (it is
     # aliased to the ring_state output) — read all state through ring_state
     ring_src = ring_state if hbm_rings else ring_init_hbm
     for sg in range(G):
         for g in vmem_idx:
             d = groups[g][0]
+            row = (
+                sg * vmem_tiles + vbase[g]
+                if (hbm_rings and batched_ring_dma)
+                else sg * n_tiles + ring_base[g]
+            )
             init_dma = pltpu.make_async_copy(
-                ring_src.at[pl.ds(sg * n_tiles + ring_base[g], d)],
+                ring_src.at[pl.ds(row, d)],
                 rings[g].at[pl.ds(sg * d, d)],
                 gate_sem.at[0],
             )
@@ -348,26 +367,51 @@ def _decode_kernel_hbm(
     def hbm_base(g, sg):
         return sg * n_tiles + ring_base[g]
 
-    def tap_dma(k, g, sg, slot, parity):
-        """HBM ring slot -> tap staging (parity half) for (group g, sg)."""
-        return pltpu.make_async_copy(
-            ring_state.at[hbm_base(g, sg) + slot],
-            tap_stage[g].at[parity, pl.ds(sg * S, S)],
-            tap_sem.at[k, parity, sg],
-        )
+    if batched_ring_dma:
 
-    def wr_dma(k, g, sg, slot, parity):
-        """Write staging (parity half) -> HBM ring slot for (group g, sg)."""
-        return pltpu.make_async_copy(
-            wr_stage[g].at[parity, pl.ds(sg * S, S)],
-            ring_state.at[hbm_base(g, sg) + slot],
-            wr_sem.at[k, parity, sg],
-        )
+        def tap_dma(k, g, slot, parity):
+            """HBM ring slot (all G stream groups, G contiguous rows) ->
+            tap staging (parity half) — ONE DMA per dilation group."""
+            return pltpu.make_async_copy(
+                ring_state.at[pl.ds(G * vmem_tiles + (hbase[g] + slot) * G, G)],
+                tap_stage[g].at[parity],
+                tap_sem.at[k, parity],
+            )
+
+        def wr_dma(k, g, slot, parity):
+            """Write staging (parity half) -> HBM ring slot, all G stream
+            groups in one DMA."""
+            return pltpu.make_async_copy(
+                wr_stage[g].at[parity],
+                ring_state.at[pl.ds(G * vmem_tiles + (hbase[g] + slot) * G, G)],
+                wr_sem.at[k, parity],
+            )
+
+    else:
+
+        def tap_dma(k, g, sg, slot, parity):
+            """HBM ring slot -> tap staging (parity half) for (group g, sg)."""
+            return pltpu.make_async_copy(
+                ring_state.at[hbm_base(g, sg) + slot],
+                tap_stage[g].at[parity, pl.ds(sg * S, S)],
+                tap_sem.at[k, parity, sg],
+            )
+
+        def wr_dma(k, g, sg, slot, parity):
+            """Write staging (parity half) -> HBM ring slot for (group g, sg)."""
+            return pltpu.make_async_copy(
+                wr_stage[g].at[parity, pl.ds(sg * S, S)],
+                ring_state.at[hbm_base(g, sg) + slot],
+                wr_sem.at[k, parity, sg],
+            )
 
     # prefetch step-0 taps for the HBM-resident groups (slot 0, parity 0)
     for k, g in enumerate(hbm_idx):
-        for sg in range(G):
-            tap_dma(k, g, sg, 0, 0).start()
+        if batched_ring_dma:
+            tap_dma(k, g, 0, 0).start()
+        else:
+            for sg in range(G):
+                tap_dma(k, g, sg, 0, 0).start()
     for i0 in range(min(NB - 1, L)):
         gate_dma(i0 % NB, i0).start()
         proj_dma(i0 % NB, i0).start()
@@ -393,14 +437,20 @@ def _decode_kernel_hbm(
         # t-1 (slot t mod d was last written at step t-d, so the prefetch
         # can never race a write for d >= 3) — wait, then read staging
         for k, g in enumerate(hbm_idx):
-            for sg in range(G):
-                tap_dma(k, g, sg, slots[g], parity).wait()
+            if batched_ring_dma:
+                tap_dma(k, g, slots[g], parity).wait()
+            else:
+                for sg in range(G):
+                    tap_dma(k, g, sg, slots[g], parity).wait()
         taps = []   # [G stream groups][dilation group] -> [S, W]
         for sg in range(G):
             row = []
             for g, (d, _) in enumerate(groups):
                 if is_hbm[g]:
-                    row.append(tap_stage[g][parity, pl.ds(sg * S, S)])
+                    if batched_ring_dma:
+                        row.append(tap_stage[g][parity, sg])
+                    else:
+                        row.append(tap_stage[g][parity, pl.ds(sg * S, S)])
                 else:
                     row.append(rings[g][pl.ds(sg * d + slots[g], 1)][0])
             taps.append(row)
@@ -504,6 +554,19 @@ def _decode_kernel_hbm(
         for g, (d, layers) in enumerate(groups):
             pad = W - len(layers) * Cr
             k = hbm_idx.index(g) if is_hbm[g] else -1
+            if is_hbm[g]:
+                # HBM group: drain the write DMA that last used this
+                # staging parity half (issued at step t-2) before
+                # overwriting it — ONE wait per group when batched
+                @pl.when(t >= 2)
+                def _(k=k, g=g, d=d):
+                    if batched_ring_dma:
+                        wr_dma(k, g, (t - 2) % d if d > 1 else 0, parity).wait()
+                    else:
+                        for sg in range(G):
+                            wr_dma(
+                                k, g, sg, (t - 2) % d if d > 1 else 0, parity
+                            ).wait()
             for sg in range(G):
                 pieces = [xs[sg][i] for i in layers]
                 if pad:
@@ -511,14 +574,14 @@ def _decode_kernel_hbm(
                 new_tile = jnp.concatenate(pieces, axis=1)  # [S, W]
                 if not is_hbm[g]:
                     rings[g][pl.ds(sg * d + slots[g], 1)] = new_tile[None]
-                    continue
-                # HBM group: stage the tile (parity half last used at step
-                # t-2 — drain that write first), then DMA it to its slot
-                @pl.when(t >= 2)
-                def _(k=k, g=g, sg=sg, d=d):
-                    wr_dma(k, g, sg, (t - 2) % d if d > 1 else 0, parity).wait()
-                wr_stage[g][parity, pl.ds(sg * S, S)] = new_tile
-                wr_dma(k, g, sg, slots[g], parity).start()
+                elif batched_ring_dma:
+                    wr_stage[g][parity, sg] = new_tile
+                else:
+                    wr_stage[g][parity, pl.ds(sg * S, S)] = new_tile
+                    wr_dma(k, g, sg, slots[g], parity).start()
+            if is_hbm[g] and batched_ring_dma:
+                # all G tiles staged -> one [G, S, W] DMA to the slot rows
+                wr_dma(k, g, slots[g], parity).start()
 
         # prefetch the NEXT step's taps for the HBM groups (their slots
         # were written >= (min d - 1) steps ago, and that write's DMA was
@@ -527,8 +590,11 @@ def _decode_kernel_hbm(
         def _():
             for k, g in enumerate(hbm_idx):
                 d = groups[g][0]
-                for sg in range(G):
-                    tap_dma(k, g, sg, (t + 1) % d, nparity).start()
+                if batched_ring_dma:
+                    tap_dma(k, g, (t + 1) % d, nparity).start()
+                else:
+                    for sg in range(G):
+                        tap_dma(k, g, sg, (t + 1) % d, nparity).start()
 
         # post1 column blocks -> h2; post2 column blocks -> logits
         h = [jax.nn.relu(skip_acc[sg]).astype(dtype) for sg in range(G)]
@@ -623,8 +689,13 @@ def _decode_kernel_hbm(
     for t_last in range(max(total - 2, 0), total):
         for k, g in enumerate(hbm_idx):
             d = groups[g][0]
-            for sg in range(G):
-                wr_dma(k, g, sg, t_last % d if d > 1 else 0, t_last % 2).wait()
+            if batched_ring_dma:
+                wr_dma(k, g, t_last % d if d > 1 else 0, t_last % 2).wait()
+            else:
+                for sg in range(G):
+                    wr_dma(
+                        k, g, sg, t_last % d if d > 1 else 0, t_last % 2
+                    ).wait()
 
 
 def _quantize_cols(w: jax.Array, axis: int):
@@ -754,6 +825,7 @@ def dequantized_params(params: dict, cfg: WaveNetConfig) -> dict:
         "cfg", "n_steps", "interpret", "n_streams", "dtype", "sample_mode",
         "temperature", "n_stream_groups", "weight_dtype", "int8_matmul",
         "act_scales", "rings_in_hbm", "hbm_ring_min_dilation",
+        "batched_ring_dma",
     ),
 )
 def generate_tokens_fused_hbm(
@@ -771,6 +843,7 @@ def generate_tokens_fused_hbm(
     act_scales: tuple | None = None,
     rings_in_hbm: bool = False,
     hbm_ring_min_dilation: int = 32,
+    batched_ring_dma: bool = True,
     sample_mode: str = "argmax",
     temperature: float = 1.0,
     seed: int = 0,
@@ -806,6 +879,15 @@ def generate_tokens_fused_hbm(
     ``n_stream_groups``) collapses from O(sum d) to O(sum of small d) —
     the serving-scale mode: more concurrent stream groups per chip than
     VMEM-resident rings allow.  Token-exact vs the VMEM-ring path.
+
+    ``batched_ring_dma`` (default True, only meaningful with
+    ``rings_in_hbm``): pack the HBM groups' ring slots slot-major so one
+    slot of one dilation group across ALL G stream groups is G contiguous
+    rows — the per-step ring traffic becomes ONE [G, S, W] DMA in + out
+    per dilation group instead of G per-stream-group DMAs (the DMA
+    issue/wait count was the dominant per-group marginal cost at large G;
+    docs/BENCHMARKS.md "HBM ring state").  ``False`` keeps the round-2
+    per-(group, sg) scheme for A/B comparison.
     """
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
@@ -855,6 +937,31 @@ def generate_tokens_fused_hbm(
             .swapaxes(0, 1)
             .reshape(G * n_tiles, S, W)
         )
+    hbm_min_d = hbm_ring_min_dilation if rings_in_hbm else 0
+    if hbm_min_d and batched_ring_dma:
+        # slot-major repack of the HBM groups' rows (kernel reads/writes
+        # one slot across all G stream groups as G contiguous rows):
+        # VMEM-group rows stay sg-major up front, HBM-group rows follow as
+        # (group, slot, sg)
+        n_tiles = sum(d for d, _ in groups)
+        ring_base, acc = [], 0
+        for d, _ in groups:
+            ring_base.append(acc)
+            acc += d
+        vmem_g = [g for g, (d, _) in enumerate(groups) if d < hbm_min_d]
+        hbm_g = [g for g, (d, _) in enumerate(groups) if d >= hbm_min_d]
+        perm = [
+            sg * n_tiles + ring_base[g] + slot
+            for sg in range(G)
+            for g in vmem_g
+            for slot in range(groups[g][0])
+        ] + [
+            sg * n_tiles + ring_base[g] + slot
+            for g in hbm_g
+            for slot in range(groups[g][0])
+            for sg in range(G)
+        ]
+        ring0 = ring0[np.asarray(perm, np.int32)]
     ring0, cur0, prev0 = ring0.astype(dtype), cur0.astype(dtype), prev0.astype(dtype)
     w = _build_hbm_weights(params, cfg, dtype, weight_dtype=weight_dtype)
     w_dtype = None if weight_dtype is None else jnp.dtype(weight_dtype)
@@ -872,13 +979,13 @@ def generate_tokens_fused_hbm(
             act_scales, jnp.float32
         )[:, None, None]
 
-    hbm_min_d = hbm_ring_min_dilation if rings_in_hbm else 0
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
         _decode_kernel_hbm, cfg=cfg, total=total, n_streams=S,
         n_stream_groups=G, dtype=dtype, weight_dtype=w_dtype,
         int8_matmul=int8_matmul, act_scales=act_scales,
         hbm_ring_min_dilation=hbm_min_d,
+        batched_ring_dma=batched_ring_dma,
         sample_mode=sample_mode, temperature=temperature,
     )
     Cr, Cd, Cs, Q = (
@@ -907,11 +1014,13 @@ def generate_tokens_fused_hbm(
         out_shape = tokens_shape
         out_specs = pl.BlockSpec(memory_space=pltpu.VMEM)
         aliases = {}
+    stage_shape = (2, G, S, W) if batched_ring_dma else (2, G * S, W)
     stage_shapes = (
-        [pltpu.VMEM((2, G * S, W), dtype) for _ in range(2 * n_hbm)]
+        [pltpu.VMEM(stage_shape, dtype) for _ in range(2 * n_hbm)]
     )
+    sem_shape = (n_hbm, 2) if batched_ring_dma else (n_hbm, 2, G)
     ring_sem_shapes = (
-        [pltpu.SemaphoreType.DMA((n_hbm, 2, G)) for _ in range(2)]
+        [pltpu.SemaphoreType.DMA(sem_shape) for _ in range(2)]
         if n_hbm else []
     )
     out = pl.pallas_call(

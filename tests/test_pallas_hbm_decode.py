@@ -298,3 +298,24 @@ def test_hbm_rings_min_dilation_hardware_guard():
             params, prime, cfg=TINY, n_steps=128,
             rings_in_hbm=True, hbm_ring_min_dilation=2,
         )
+
+
+def test_max_stream_groups_charges_output_tile():
+    """The serving planners must charge the VMEM-resident int32 token
+    output (ADVICE r2): longer per-call decodes -> fewer groups."""
+    from music_tpu.kernels import wavenet_decode as res
+    from music_tpu.kernels import wavenet_decode_hbm as hbm
+
+    cfg = wn.WaveNetConfig()  # full-size
+    for fn in (res.max_stream_groups, hbm.max_stream_groups,
+               hbm.max_stream_groups_hbm_rings):
+        g_short = fn(cfg, 16, jnp.bfloat16, n_steps=16_384)
+        g_long = fn(cfg, 16, jnp.bfloat16, n_steps=160_000)
+        g_legacy = fn(cfg, 16, jnp.bfloat16)
+        assert g_short <= g_legacy
+        assert g_long < g_short or g_long == 0
+    # the 10s/32-stream case the advisor flagged: resident G=2 at 160k
+    # steps would need a ~20.5 MB output tile -> must NOT fit
+    assert res.max_stream_groups(cfg, 16, jnp.bfloat16, n_steps=160_000) < 2
+    # chunked calls restore the round-2 plan
+    assert res.max_stream_groups(cfg, 16, jnp.bfloat16, n_steps=16_384) >= 2
