@@ -143,6 +143,22 @@ def cmd_leakgan(args):
     p = _load_params(pd)
     cfg = LeakGanConfig.from_json(p["leak_gan_params"])
     tp = p["train_params"]
+    if args.corpus:
+        real = np.load(args.corpus)
+    else:
+        from music_tpu.data.tokens import load_corpus
+
+        real, _ = load_corpus(args.data_dir)
+    if int(real.max()) >= cfg.vocab_size:
+        # the reference's own corpus holds 1-based ids up to 5258 while its
+        # params say vocab_size 5258 — its Worker embedding would index out
+        # of range on its own data.  Grow the vocab to cover the corpus
+        # (id 0 stays the start/pad token; docs/DIVERGENCES.md #18).
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, vocab_size=int(real.max()) + 1)
+        print(f"corpus max id {int(real.max())} >= configured vocab; "
+              f"using vocab_size={cfg.vocab_size}")
     tc = LeakGanTrainConfig(
         cfg=cfg, batch_size=tp["batch_size"], m_lr=tp["m_lr"], w_lr=tp["w_lr"],
         d_lr=tp["d_lr"], decay_step_size=tp["decay_step_size"],
@@ -150,12 +166,6 @@ def cmd_leakgan(args):
         generated_num=tp["generated_num"],
     )
     tr = LeakGanTrainer(tc, seed=tp.get("seed", 0))
-    if args.corpus:
-        real = np.load(args.corpus)
-    else:
-        from music_tpu.data.tokens import load_corpus
-
-        real, _ = load_corpus(args.data_dir)
     if args.checkpoint:
         start = tr.restore(args.checkpoint)
         print(f"resumed from step {start}")
