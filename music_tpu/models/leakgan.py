@@ -83,17 +83,45 @@ class LeakGanConfig:
 
     @classmethod
     def from_json(cls, leak_gan_params: dict) -> "LeakGanConfig":
-        p = leak_gan_params
+        """Accepts the flat music_tpu schema AND the reference's nested
+        one (leak_gan/params/leak_gan_params.json: discriminator_params /
+        generator_params.{worker,manager}_params — train.py:35-49's
+        cross-wiring of goal_out_size is the `goal_out_size` property)."""
+        p = dict(leak_gan_params)
+        d = p.get("discriminator_params", {})
+        g = p.get("generator_params", {})
+        w = g.get("worker_params", {})
+        m = g.get("manager_params", {})
+
+        def pick(*vals, default):
+            for v in vals:
+                if v is not None:
+                    return v
+            return default
+
         return cls(
-            vocab_size=p.get("vocab_size", 5258),
-            seq_len=p.get("seq_len", 20),
-            step_size=p.get("step_size", 5),
-            goal_size=p.get("goal_size", 16),
-            worker_emb_dim=p.get("embed_dim", 32),
-            worker_hidden=p.get("hidden_dim", 32),
-            manager_hidden=p.get("hidden_dim", 32),
-            start_token=p.get("start_token", 0),
+            vocab_size=pick(p.get("vocab_size"), w.get("vocab_size"),
+                            d.get("vocab_size"), default=5258),
+            seq_len=pick(p.get("seq_len"), d.get("seq_len"), default=20),
+            step_size=pick(p.get("step_size"), g.get("step_size"),
+                           d.get("step_size"), default=5),
+            goal_size=pick(p.get("goal_size"), w.get("goal_size"), default=16),
+            worker_emb_dim=pick(p.get("embed_dim"), w.get("embed_dim"), default=32),
+            worker_hidden=pick(p.get("hidden_dim"), w.get("hidden_dim"), default=32),
+            manager_hidden=pick(p.get("hidden_dim"), m.get("hidden_dim"), default=32),
+            start_token=pick(p.get("start_token"), d.get("start_token"), default=0),
             temperature=float(p.get("temperature", 1.0)),
+            dis_emb_dim=pick(p.get("dis_emb_dim"), d.get("dis_emb_dim"), default=64),
+            filter_sizes=tuple(pick(p.get("filter_sizes"), d.get("filter_sizes"),
+                                    default=cls.filter_sizes)),
+            num_filters=tuple(pick(p.get("num_filters"), d.get("num_filters"),
+                                   default=cls.num_filters)),
+            dropout=float(pick(p.get("dropout"),
+                               1.0 - d["dropout_keep_prob"]
+                               if "dropout_keep_prob" in d else None,
+                               default=0.2)),
+            l2_reg_lambda=float(pick(p.get("l2_reg_lambda"),
+                                     d.get("l2_reg_lambda"), default=1e-5)),
         )
 
 

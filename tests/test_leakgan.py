@@ -279,3 +279,36 @@ def test_oracle_init_normal_is_peaked():
     assert abs(self_nll_torch - floor) < 0.4
     assert self_nll_norm < floor - 0.5
     assert self_nll_norm < self_nll_torch - 0.4
+
+
+def test_from_json_accepts_reference_nested_schema():
+    """LeakGanConfig.from_json must load the reference's NESTED params
+    schema (discriminator_params / generator_params.{worker,manager}_params,
+    leak_gan/params/leak_gan_params.json) as well as the flat one."""
+    nested = {
+        "discriminator_params": {
+            "seq_len": 20, "num_classes": 2, "vocab_size": 5258,
+            "dis_emb_dim": 64, "filter_sizes": [1, 2, 3],
+            "num_filters": [100, 200, 160], "start_token": 0,
+            "goal_out_size": None, "step_size": 5,
+            "dropout_keep_prob": 0.8, "l2_reg_lambda": 0.2,
+        },
+        "generator_params": {
+            "manager_params": {"batch_size": 64, "hidden_dim": 32,
+                               "goal_out_size": None},
+            "worker_params": {"batch_size": 64, "vocab_size": 5258,
+                              "embed_dim": 32, "hidden_dim": 32,
+                              "goal_out_size": None, "goal_size": 16},
+            "step_size": 5,
+        },
+    }
+    cfg = lg.LeakGanConfig.from_json(nested)
+    assert cfg.vocab_size == 5258 and cfg.seq_len == 20
+    assert cfg.filter_sizes == (1, 2, 3)
+    assert cfg.num_filters == (100, 200, 160)
+    assert cfg.goal_out_size == 460  # train.py:45-49 cross-wiring
+    assert abs(cfg.dropout - 0.2) < 1e-9 and cfg.l2_reg_lambda == 0.2
+    # flat schema still works and overrides defaults
+    flat = lg.LeakGanConfig.from_json({"vocab_size": 40, "seq_len": 10,
+                                       "filter_sizes": [1], "num_filters": [4]})
+    assert flat.vocab_size == 40 and flat.goal_out_size == 4

@@ -128,3 +128,38 @@ def test_default_midi_sources_config_loads():
     assert len(cfg["sources"]) >= 15
     assert all(k.startswith("classical/") for k in cfg["sources"])
     assert 0 < cfg["splits"]["validation_fraction"] < 1
+
+
+def test_cli_leakgan_grows_vocab_to_corpus(tmp_path, capsys):
+    """`leakgan train --corpus` with a corpus whose ids exceed the params'
+    vocab_size must grow the vocab instead of indexing out of range — the
+    reference's own shipped corpus does exactly this (div. #18)."""
+    import json
+
+    import numpy as np
+
+    from music_tpu.cli import main
+
+    pd = tmp_path / "params"
+    pd.mkdir()
+    (pd / "leak_gan_params.json").write_text(json.dumps({
+        "vocab_size": 30, "seq_len": 20, "step_size": 4, "goal_size": 4,
+        "embed_dim": 8, "hidden_dim": 8, "start_token": 0,
+        "filter_sizes": [1, 2, 3], "num_filters": [8, 8, 16],
+    }))
+    (pd / "train_params.json").write_text(json.dumps({
+        "batch_size": 4, "m_lr": 1e-3, "w_lr": 1e-3, "d_lr": 1e-4,
+        "decay_step_size": 100, "decay_rate": 0.99, "rollout_num": 2,
+        "generated_num": 4, "seed": 0,
+    }))
+    corpus = np.random.default_rng(0).integers(1, 41, (8, 20)).astype(np.int64)
+    np.save(tmp_path / "corpus.npy", corpus)
+    main([
+        "leakgan", "train", "--params-dir", str(pd),
+        "--corpus", str(tmp_path / "corpus.npy"),
+        "--pretrain-g-epochs", "1", "--pretrain-d-epochs", "1",
+        "--adversarial-epochs", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "using vocab_size=41" in out
+    assert "epoch 0" in out
