@@ -146,6 +146,11 @@ def main():
                 best = {"eval_nll": round(nll, 4), "epoch": ep}
                 tr.save(ckpt_dir, step=ep)
                 write_poems("poems_best")
+                # restore_or_init loads the LATEST checkpoint, so resume
+                # state must track EVERY save — otherwise a resumed run
+                # replays epochs on further-trained params
+                (out_dir / "trajectory.json").write_text(json.dumps(traj))
+                resume.write_text(json.dumps({"adv_done": ep}))
         if ep % args.ckpt_every == 0:
             tr.save(ckpt_dir, step=ep)
             (out_dir / "trajectory.json").write_text(json.dumps(traj))

@@ -61,25 +61,16 @@ def generate(
 
         # chunk long decodes: the kernel's int32 token output is VMEM-
         # resident, so each call is bounded and re-primed from the previous
-        # tail with `pos_offset` keeping the frame conditioning on the
-        # utterance clock (same scheme as wavenet_generate.STEPS_PER_CALL)
-        from music_tpu.generate.wavenet_generate import STEPS_PER_CALL
+        # tail; `pos_offset` (a dynamic SMEM scalar — no recompile per
+        # chunk) keeps the frame conditioning on the utterance clock
+        from music_tpu.generate.wavenet_generate import _chunked_fused
 
-        interpret = jax.default_backend() != "tpu"
-        ctx = tokens[:, :fused_min]
-        pos = fused_min  # absolute time of the next sample
-        outs = []
-        while pos - fused_min < n_steps:
-            k = min(n_steps - (pos - fused_min), STEPS_PER_CALL)
-            chunk = generate_tokens_fused(
-                params, encoding, ctx, cfg=cfg, n_steps=k,
-                pos_offset=pos - ctx.shape[1], interpret=interpret,
-            )
-            outs.append(chunk)
-            pos += k
-            if pos - fused_min < n_steps:
-                ctx = jnp.concatenate([ctx, chunk], axis=1)[:, -fused_min:]
-        out_codes = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+        out_codes = _chunked_fused(
+            lambda p, rows, **kw: generate_tokens_fused(p, encoding, rows, **kw),
+            params, tokens[:, :fused_min], cfg=cfg, n_steps=n_steps,
+            chunk_kw=lambda done: {"pos_offset": done},
+            interpret=jax.default_backend() != "tpu",
+        )
     else:
         prime_len = min(cfg.receptive_field, tokens.shape[1])
         prime = tokens[:, :prime_len]

@@ -37,20 +37,25 @@ streams x 4 B = 1 MB/group — the budget the max_stream_groups helpers
 charge via their ``n_steps`` argument)."""
 
 
-def _chunked_fused(fused, params, rows, *, cfg, n_steps, seed,
-                   step_chunk=STEPS_PER_CALL, **kw):
+def _chunked_fused(fused, params, rows, *, cfg, n_steps, seed=None,
+                   step_chunk=STEPS_PER_CALL, chunk_kw=None, **kw):
     """Run a fused decode kernel in <=step_chunk-step calls, re-priming each
     call with the previous tail so the VMEM output tile stays bounded.
+
     ``seed`` may be a traced scalar (per-chunk offsets keep PRNG streams
-    distinct)."""
+    distinct) or None for kernels without a sampler seed.  ``chunk_kw``:
+    optional ``steps_done -> dict`` of per-chunk kwargs (the AE path passes
+    ``pos_offset`` so the frame conditioning stays on the utterance clock).
+    """
     prime_len = cfg.receptive_field + max(cfg.dilations)
     outs = []
     done = 0
     while done < n_steps:
         k = min(n_steps - done, step_chunk)
-        codes = fused(
-            params, rows, cfg=cfg, n_steps=k, seed=seed + 7919 * len(outs), **kw
-        )
+        extra = dict(chunk_kw(done)) if chunk_kw else {}
+        if seed is not None:
+            extra["seed"] = seed + 7919 * len(outs)
+        codes = fused(params, rows, cfg=cfg, n_steps=k, **extra, **kw)
         outs.append(codes)
         done += k
         if done < n_steps:

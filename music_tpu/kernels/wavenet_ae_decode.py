@@ -148,11 +148,13 @@ def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
     Cs = cfg.de_skip_channel
     z_all = jnp.concatenate(z_last, axis=-1)  # [S, L*Cd]
     h = jax.nn.relu(z_all @ params["skip"].reshape(-1, Cs))
-    frame_last = min(
+    frame_last = jnp.minimum(
         (pos_offset + P - 1) // cfg.en_pool_kernel_size, encoding.shape[1] - 1
     )
     cond_post_last = jnp.einsum(
-        "bw,wc->bc", encoding[:, frame_last], params["cond_post"]
+        "bw,wc->bc",
+        jnp.take(encoding, frame_last, axis=1),
+        params["cond_post"],
     )
     h = jax.nn.relu(h @ params["conn1"] + cond_post_last)
     logits = h @ params["conn2"]
@@ -162,7 +164,7 @@ def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
     return init, cur0, prev0, s0
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret", "dtype", "pos_offset"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret", "dtype"))
 def generate_tokens_fused(
     params: dict,
     encoding: jax.Array,
@@ -211,14 +213,14 @@ def generate_tokens_fused(
 
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
-        _ae_kernel_wrapper, cfg=cfg, total=total, t0_frame_offset=pos_offset + P,
-        F=F, dtype=dtype
+        _ae_kernel_wrapper, cfg=cfg, total=total, F=F, dtype=dtype
     )
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(((total // 128) * S, 128), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((d, S, 128), dtype) for d, _ in groups]
         + [
@@ -231,19 +233,23 @@ def generate_tokens_fused(
         w["ecur"], w["eprev"], w["fgp"], w["fgc"], w["densew"], w["skipw"],
         w["post1"], w["post2"],
         cond_fg.astype(dtype), cond_post.astype(dtype),
+        jnp.asarray(pos_offset + P, jnp.int32).reshape(1),
     )
     toks = out.reshape(total // 128, S, 128)
     toks = jnp.swapaxes(toks, 0, 1).reshape(S, total)[:, :n_steps]
     return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]
 
 
-def _ae_kernel_wrapper(*refs, cfg, total, t0_frame_offset, F, dtype):
+def _ae_kernel_wrapper(*refs, cfg, total, F, dtype):
     """Adapter handling the per-stream conditioning one-hot: stream s's
     frame f lives at row s*F + f of the cond tables, so the one-hot compares
-    against ``s*F + frame`` per sublane."""
+    against ``s*F + frame`` per sublane.  The absolute-time offset of step 0
+    (pos_offset + prime_len) arrives as a dynamic SMEM scalar so chunked
+    long decodes do NOT recompile per chunk."""
     (ring_init_ref, cur0_ref, prev0_ref, ecur_ref, eprev_ref, fgp_ref,
      fgc_ref, densew_ref, skipw_ref, post1_ref, post2_ref,
-     condfg_ref, condpost_ref, out_ref, *scratch) = refs
+     condfg_ref, condpost_ref, off_ref, out_ref, *scratch) = refs
+    t0_frame_offset = off_ref[0]
 
     L = cfg.n_blocks
     Cr, Cd, Cs, Q = (

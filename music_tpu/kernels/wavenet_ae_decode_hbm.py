@@ -61,11 +61,12 @@ def _ae_kernel_hbm(
     post_hbm,        # [Cs, Cs + Q]
     condfg_hbm,      # [F, G*S, L*2Cd]
     condpost_hbm,    # [F, G*S, Cs]
+    off_ref,         # SMEM [1] i32 — absolute time of step 0 (pos_offset + P);
+    #                  dynamic so chunked long decodes don't recompile
     out_ref,         # [(T//128)*G*S, 128] i32
     *rest,           # (+ ring_state ANY output when hbm rings) + scratch
     cfg: WaveNetAEConfig,
     total: int,
-    t0_frame_offset: int,
     F: int,
     n_stream_groups: int,
     dtype,
@@ -76,6 +77,7 @@ def _ae_kernel_hbm(
         ring_state, *scratch = rest
     else:
         scratch = rest
+    t0_frame_offset = off_ref[0]
     L = cfg.n_blocks
     Cr, Cd, Cs, Q = (
         cfg.de_residual_channel,
@@ -367,7 +369,7 @@ def _build_hbm_weights(params: dict, cfg: WaveNetAEConfig, dtype):
     jax.jit,
     static_argnames=(
         "cfg", "n_steps", "interpret", "dtype", "n_stream_groups",
-        "rings_in_hbm", "hbm_ring_min_dilation", "pos_offset",
+        "rings_in_hbm", "hbm_ring_min_dilation",
     ),
 )
 def generate_tokens_fused_hbm(
@@ -456,7 +458,7 @@ def generate_tokens_fused_hbm(
     hbm_min_d = hbm_ring_min_dilation if rings_in_hbm else 0
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
-        _ae_kernel_hbm, cfg=cfg, total=total, t0_frame_offset=pos_offset + P, F=F,
+        _ae_kernel_hbm, cfg=cfg, total=total, F=F,
         n_stream_groups=G, dtype=dtype, hbm_ring_min_dilation=hbm_min_d,
     )
     Cr, Cs, Q = cfg.de_residual_channel, cfg.de_skip_channel, cfg.quantization_channel
@@ -486,7 +488,8 @@ def generate_tokens_fused_hbm(
         kernel,
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=out_specs,
         input_output_aliases=aliases,
         scratch_shapes=[pltpu.VMEM((G * d, S, W), dtype) for d, _ in vmem_groups]
@@ -508,6 +511,7 @@ def generate_tokens_fused_hbm(
         cur0.astype(dtype), prev0.astype(dtype), w["ecur"], w["eprev"],
         ring0.astype(dtype), w["gate"], w["proj"], w["post"],
         cond_fg.astype(dtype), cond_post.astype(dtype),
+        jnp.asarray(pos_offset + P, jnp.int32).reshape(1),
     )
     if hbm_min_d:
         out = out[0]

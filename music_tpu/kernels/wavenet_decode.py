@@ -122,7 +122,7 @@ def max_stream_groups(
         cfg.skip_channels, cfg.quantization_channels,
     )
     ring_bytes = sum({d for d in cfg.dilations}) * n_streams * 128 * itemsize
-    out_bytes = _round_up(max(n_steps, 1), 128) * n_streams * 4 if n_steps else 0
+    out_bytes = _round_up(n_steps, 128) * n_streams * 4 if n_steps else 0
     weight_bytes = (
         L * (128 * 2 * Cd + Cr * 2 * Cd + Cd * Cr)  # fgp + fgc + dense
         + L * Cd * Cs + Cs * Cs + Cs * Q            # skip + post1 + post2
@@ -320,7 +320,8 @@ def _build_kernel_weights(params: dict, cfg: WaveNetConfig, dtype=jnp.float32):
 
 
 def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig,
-                         row_lanes: int = 128):
+                         row_lanes: int = 128, sample_mode: str = "argmax",
+                         temperature: float = 1.0, key=None):
     """Parallel prime: run the conv forward over the prime tokens, extract
     the shift-register init tiles + the boot one-hots.
 
@@ -328,6 +329,11 @@ def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig,
     inputs at absolute time ``P - d_g + s`` (P = prime length), so step
     ``t``'s read of slot ``t mod d_g`` yields time ``P + t - d_g``.
     Requires ``P >= receptive_field + max_dilation``; batch = stream count.
+
+    ``sample_mode``/``temperature``/``key``: how to draw the FIRST token
+    s_0 (it is produced here, host-side, not by the kernel's sampler) —
+    categorical callers must pass their mode so chunk-boundary tokens of a
+    chunked decode aren't silently argmax.
     """
     L, Cr, Q = cfg.n_blocks, cfg.residual_channels, cfg.quantization_channels
     D_max = max(cfg.dilations)
@@ -368,7 +374,12 @@ def _collect_prime_state(params: dict, prime: jax.Array, cfg: WaveNetConfig,
     from music_tpu.models.wavenet import forward
 
     logits = forward(params, prime[:, -cfg.receptive_field :], cfg)  # [8, 1, Q]
-    s0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)        # [8]
+    if sample_mode == "categorical" and key is not None:
+        s0 = jax.random.categorical(
+            key, logits[:, -1] / temperature, axis=-1
+        ).astype(jnp.int32)
+    else:
+        s0 = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)    # [8]
     cur0 = jax.nn.one_hot(s0, Q, dtype=jnp.float32)
     prev0 = jax.nn.one_hot(prime[:, -1], Q, dtype=jnp.float32)
     return init, cur0, prev0, s0
@@ -428,7 +439,10 @@ def generate_tokens_fused(
         )
     groups, _ = _grouping(cfg)
 
-    ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, cfg)
+    ring0, cur0, prev0, s0 = _collect_prime_state(
+        params, prime, cfg, sample_mode=sample_mode, temperature=temperature,
+        key=jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32)),
+    )
     if G > 1:
         # repack [tiles, G*S, 128] -> [G*tiles, S, 128]: group sg's tiles first
         n_tiles = ring0.shape[0]

@@ -116,7 +116,7 @@ def max_stream_groups(
     W = _row_lanes(cfg)
     distinct = sorted({d for d in cfg.dilations})
     ring_bytes = sum(distinct) * n_streams * W * itemsize
-    out_bytes = _round_up(max(n_steps, 1), 128) * n_streams * 4 if n_steps else 0
+    out_bytes = _round_up(n_steps, 128) * n_streams * 4 if n_steps else 0
     Cr, Cd, Cs = cfg.residual_channels, cfg.dilation_channels, cfg.skip_channels
     Cg = _round_up(2 * Cd, 128)
     shared = (
@@ -175,7 +175,7 @@ def max_stream_groups_hbm_rings(
     small = [d for d in distinct if d < min_dilation]
     n_hbm = len(distinct) - len(small)
     per_group = (sum(small) + 4 * n_hbm) * n_streams * W * itemsize
-    per_group += _round_up(max(n_steps, 1), 128) * n_streams * 4 if n_steps else 0
+    per_group += _round_up(n_steps, 128) * n_streams * 4 if n_steps else 0
     Cr, Cd, Cs = cfg.residual_channels, cfg.dilation_channels, cfg.skip_channels
     Cg = _round_up(2 * Cd, 128)
     shared = (
@@ -928,7 +928,11 @@ def generate_tokens_fused_hbm(
         )
     groups, _ = _grouping(cfg, W)
 
-    ring0, cur0, prev0, s0 = _collect_prime_state(params, prime, cfg, W)
+    ring0, cur0, prev0, s0 = _collect_prime_state(
+        params, prime, cfg, W, sample_mode=sample_mode,
+        temperature=temperature,
+        key=jax.random.PRNGKey(jnp.asarray(seed, jnp.uint32)),
+    )
     if G > 1:
         # repack [tiles, G*S, W] -> [G*tiles, S, W]: group sg's tiles first
         n_tiles = ring0.shape[0]
