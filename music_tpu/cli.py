@@ -96,12 +96,39 @@ def cmd_wavenet_ae(args):
         from music_tpu.models.wavenet_ae import WaveNetAEConfig
 
         cfg = WaveNetAEConfig.from_json(p["model_params"])
-        generate(
-            cfg=cfg, checkpoint_dir=args.checkpoint,
-            source_path=args.source, out_path=args.out,
-            duration=args.duration,
-        )
-        print(f"wrote {args.out}")
+        src = Path(args.source)
+        if src.is_dir():
+            # serving path: reconstruct every wav in the directory through
+            # as few fused-kernel launches as fit (equal-length rows —
+            # trim to the shortest clip so conditioning frames align)
+            import numpy as np
+
+            from music_tpu.data import wavio
+            from music_tpu.generate.wavenet_ae_generate import generate_batch
+
+            paths = sorted(src.glob("*.wav"))
+            if not paths:
+                raise SystemExit(f"no .wav files in {src}")
+            rows = []
+            for wav in paths:
+                audio, src_sr = wavio.read_wav(wav)
+                rows.append(wavio.resample(audio, src_sr, 16000))
+            t_min = min(len(r) for r in rows)
+            out = Path(args.out)
+            out_dir = out.parent / out.stem if out.suffix == ".wav" else out
+            generate_batch(
+                cfg=cfg, checkpoint_dir=args.checkpoint,
+                source_audios=np.stack([r[:t_min] for r in rows]),
+                out_dir=out_dir, duration=args.duration,
+            )
+            print(f"wrote {len(paths)} wavs to {out_dir}/")
+        else:
+            generate(
+                cfg=cfg, checkpoint_dir=args.checkpoint,
+                source_path=args.source, out_path=args.out,
+                duration=args.duration,
+            )
+            print(f"wrote {args.out}")
 
 
 def cmd_seqgan(args):
@@ -300,7 +327,11 @@ def main(argv=None):
     p.add_argument("action", choices=["train", "generate"])
     p.add_argument("--params-dir")
     p.add_argument("--checkpoint")
-    p.add_argument("--source", help="source wav to reconstruct")
+    p.add_argument(
+        "--source",
+        help="source wav to reconstruct, or a directory of wavs to serve "
+        "concurrently (writes one reconstruction per clip under --out's stem)",
+    )
     p.add_argument("--out", default="reconstructed.wav")
     p.add_argument("--duration", type=float, default=None)
     p.set_defaults(fn=cmd_wavenet_ae)

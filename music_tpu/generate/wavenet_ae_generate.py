@@ -9,6 +9,7 @@ with per-frame conditioning biases (models/wavenet_ae.generate_tokens).
 
 from __future__ import annotations
 
+import functools
 from pathlib import Path
 
 import jax
@@ -20,6 +21,50 @@ from music_tpu.data import wavio
 from music_tpu.data.audio import mu_law_encode_np
 from music_tpu.models import wavenet_ae as ae
 from music_tpu.ops.mulaw import mu_law_decode
+
+
+def _chunked_ae_fused(fused, params, encoding, ctx, *, cfg, n_steps,
+                      slice_frames: bool = True, step_chunk: int | None = None,
+                      **kw):
+    """Chunked conditioned decode with bounded per-call footprint.
+
+    Like wavenet_generate._chunked_fused (tail re-prime every
+    STEPS_PER_CALL steps — the int32 token output is VMEM-resident), plus
+    the AE-specific piece: each chunk receives a FIXED-width slice of the
+    encoding frames covering its prime + steps, with ``pos_offset``
+    rebased so the kernel's frame clock stays aligned.  The resident
+    kernel's conditioning tables are VMEM inputs that grow with utterance
+    length (~30 MB for 10 s at pool 512) — slicing bounds them; the
+    constant slice width keeps ONE kernel compile for all chunks.
+    ``slice_frames=False`` passes the whole encoding (the HBM kernel
+    streams its tables from HBM, so slicing buys nothing there).
+    """
+    from music_tpu.generate.wavenet_generate import STEPS_PER_CALL
+
+    if step_chunk is None:
+        step_chunk = STEPS_PER_CALL
+    pool = cfg.en_pool_kernel_size
+    P = ctx.shape[1]
+    F = encoding.shape[1]
+    # frames covering a P-token prime + a full chunk, plus clamp slack
+    Fc = min(F, -(-(P + step_chunk) // pool) + 2)
+    outs, done = [], 0
+    while done < n_steps:
+        k = min(n_steps - done, step_chunk)
+        if slice_frames and Fc < F:
+            f0 = max(0, min(done // pool, F - Fc))
+            enc = jax.lax.dynamic_slice_in_dim(encoding, f0, Fc, axis=1)
+        else:
+            f0, enc = 0, encoding
+        codes = fused(
+            params, enc, ctx, cfg=cfg, n_steps=k,
+            pos_offset=done - f0 * pool, **kw,
+        )
+        outs.append(codes)
+        done += k
+        if done < n_steps:
+            ctx = jnp.concatenate([ctx, codes], axis=1)[:, -P:]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
 
 
 def generate(
@@ -59,16 +104,9 @@ def generate(
     if backend == "fused" and sample_mode == "argmax" and tokens.shape[1] >= fused_min:
         from music_tpu.kernels.wavenet_ae_decode import generate_tokens_fused
 
-        # chunk long decodes: the kernel's int32 token output is VMEM-
-        # resident, so each call is bounded and re-primed from the previous
-        # tail; `pos_offset` (a dynamic SMEM scalar — no recompile per
-        # chunk) keeps the frame conditioning on the utterance clock
-        from music_tpu.generate.wavenet_generate import _chunked_fused
-
-        out_codes = _chunked_fused(
-            lambda p, rows, **kw: generate_tokens_fused(p, encoding, rows, **kw),
-            params, tokens[:, :fused_min], cfg=cfg, n_steps=n_steps,
-            chunk_kw=lambda done: {"pos_offset": done},
+        out_codes = _chunked_ae_fused(
+            generate_tokens_fused, params, encoding, tokens[:, :fused_min],
+            cfg=cfg, n_steps=n_steps,
             interpret=jax.default_backend() != "tpu",
         )
     else:
@@ -80,4 +118,110 @@ def generate(
         )
     audio = np.asarray(mu_law_decode(out_codes[0], cfg.quantization_channel))
     wavio.write_wav(out_path, audio, sr)
+    return audio
+
+
+def generate_batch(
+    *,
+    cfg: ae.WaveNetAEConfig,
+    params=None,
+    checkpoint_dir: str | Path | None = None,
+    source_audios: np.ndarray,
+    out_dir: str | Path | None = None,
+    sr: int = 16000,
+    duration: float | None = None,
+    dtype=jnp.float32,
+) -> np.ndarray:
+    """Serve ``n`` concurrent reconstructions; returns ``[n, T]`` audio.
+
+    The autoencoder counterpart of wavenet_generate.generate_batch (the
+    reference's generate.py decodes one utterance in an O(receptive-field)-
+    per-sample Python loop): every source clip is encoded in one batched
+    pass, then all streams decode through as few fused-kernel launches as
+    possible — the resident conditioned kernel for <= 8 streams when the
+    decoder fits VMEM, else the HBM-streaming kernel with interleaved
+    8-stream groups (upgrading to HBM ring state when the group count
+    exceeds the VMEM-ring cap).  Long decodes are chunked (bounded VMEM
+    output + conditioning; dynamic pos_offset keeps the frame clock — one
+    compile for all chunks).  Off TPU the whole batch runs as one batched
+    ``lax.scan`` program.
+
+    ``source_audios``: ``[n, T_src]`` float audio rows (equal length —
+    conditioning frames must align).
+    """
+    from music_tpu.kernels import wavenet_ae_decode as res_k
+    from music_tpu.kernels import wavenet_ae_decode_hbm as hbm_k
+    from music_tpu.generate.wavenet_generate import STEPS_PER_CALL
+
+    if params is None:
+        if checkpoint_dir is None:
+            raise ValueError("need params or checkpoint_dir")
+        example = ae.init_params(jax.random.PRNGKey(0), cfg)
+        params = ckpt_lib.restore_subtree(checkpoint_dir, example, prefix=".params")
+
+    src = np.asarray(source_audios)
+    if src.ndim != 2:
+        raise ValueError("source_audios must be [n, T] rows of equal length")
+    n = src.shape[0]
+    codes = np.stack([mu_law_encode_np(row, cfg.quantization_channel) for row in src])
+    tokens = jnp.asarray(codes, jnp.int32)
+    encoding = ae.encode(params, tokens, cfg)
+
+    n_steps = src.shape[1] if duration is None else min(int(duration * sr), src.shape[1])
+    fused_min = cfg.receptive_field + max(cfg.dilations)
+    on_tpu = jax.default_backend() == "tpu"
+
+    if not on_tpu or tokens.shape[1] < fused_min:
+        keys = jax.random.PRNGKey(0)
+        out_codes = ae.generate_tokens(
+            params, encoding, tokens[:, : min(cfg.receptive_field, tokens.shape[1])],
+            keys, cfg=cfg, n_steps=n_steps, sample_mode="argmax",
+        )
+    else:
+        call_steps = min(n_steps, STEPS_PER_CALL)
+        weight_bytes = sum(
+            int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(params)
+        )
+        prime = tokens[:, :fused_min]
+        if n <= res_k.N_STREAMS and weight_bytes < 10e6:
+            out_codes = _chunked_ae_fused(
+                res_k.generate_tokens_fused, params, encoding, prime,
+                cfg=cfg, n_steps=n_steps, dtype=dtype,
+            )
+        else:
+            G_need = -(-n // res_k.N_STREAMS)
+            g_cap = hbm_k.max_stream_groups(cfg, dtype, n_steps=call_steps)
+            extra = {}
+            if G_need > g_cap:
+                g_rings = hbm_k.max_stream_groups_hbm_rings(
+                    cfg, dtype, n_steps=call_steps
+                )
+                if g_rings > g_cap:
+                    extra = {"rings_in_hbm": True}
+                    g_cap = g_rings
+            per_call_rows = res_k.N_STREAMS * max(g_cap, 1)
+            parts = []
+            for lo in range(0, n, per_call_rows):
+                rows = prime[lo : lo + per_call_rows]
+                enc = encoding[lo : lo + per_call_rows]
+                parts.append(
+                    _chunked_ae_fused(
+                        functools.partial(
+                            hbm_k.generate_tokens_fused_hbm,
+                            n_stream_groups=-(-rows.shape[0] // res_k.N_STREAMS),
+                            **extra,
+                        ),
+                        params, enc, rows, cfg=cfg, n_steps=n_steps,
+                        slice_frames=False,  # HBM kernel streams its tables
+                        dtype=dtype,
+                    )
+                )
+            out_codes = jnp.concatenate(parts, axis=0)
+
+    audio = np.asarray(mu_law_decode(out_codes[:n], cfg.quantization_channel))
+    if out_dir is not None:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            wavio.write_wav(out_dir / f"recon_{i:03d}.wav", audio[i], sr)
     return audio

@@ -48,6 +48,69 @@ def _post_block(cfg: WaveNetAEConfig) -> int:
     return min(128, math.gcd(cfg.de_skip_channel, cfg.quantization_channel))
 
 
+def _shared_buf_bytes(cfg: WaveNetAEConfig, itemsize: int) -> int:
+    W = _row_lanes(cfg)
+    Cr, Cd, Cs = (
+        cfg.de_residual_channel, cfg.de_dilation_channel, cfg.de_skip_channel,
+    )
+    return (
+        4 * (W + Cr) * _round_up(2 * Cd, 128)     # gate buffers
+        + 4 * Cd * (_round_up(Cr, 128) + Cs)      # proj buffers
+        + 2 * Cs * _post_block(cfg)               # post buffers
+    ) * itemsize
+
+
+def _per_group_cond_out_bytes(cfg: WaveNetAEConfig, itemsize: int,
+                              n_steps: int) -> int:
+    S = N_STREAMS
+    Cd, Cs = cfg.de_dilation_channel, cfg.de_skip_channel
+    cond = S * (cfg.n_blocks * 2 * Cd + Cs) * itemsize  # current-frame rows
+    out = _round_up(n_steps, 128) * S * 4 if n_steps else 0
+    return cond + out
+
+
+def max_stream_groups(
+    cfg: WaveNetAEConfig,
+    dtype=jnp.float32,
+    vmem_budget: int = 14 * 1024 * 1024,
+    n_steps: int = 0,
+) -> int:
+    """Serving groups (8 streams each) that fit VMEM for the conditioned
+    HBM-streaming kernel: per group one ring-cache set + the current-frame
+    conditioning rows + the int32 token output tile (pass the per-CALL
+    step count; chunk long decodes).  Mirrors
+    kernels.wavenet_decode_hbm.max_stream_groups."""
+    itemsize = jnp.dtype(dtype).itemsize
+    W = _row_lanes(cfg)
+    distinct = sorted({d for d in cfg.dilations})
+    per_group = sum(distinct) * N_STREAMS * W * itemsize
+    per_group += _per_group_cond_out_bytes(cfg, itemsize, n_steps)
+    return max(0, (vmem_budget - _shared_buf_bytes(cfg, itemsize)) // per_group)
+
+
+def max_stream_groups_hbm_rings(
+    cfg: WaveNetAEConfig,
+    dtype=jnp.float32,
+    min_dilation: int = 32,
+    vmem_budget: int = 12 * 1024 * 1024,
+    n_steps: int = 0,
+) -> int:
+    """Group cap with ``rings_in_hbm=True``: only the small-dilation rings,
+    the per-HBM-group tap/write staging pairs, the conditioning rows and
+    the output tile cost VMEM per group."""
+    itemsize = jnp.dtype(dtype).itemsize
+    W = _row_lanes(cfg)
+    distinct = sorted({d for d in cfg.dilations})
+    small = [d for d in distinct if d < min_dilation]
+    n_hbm = len(distinct) - len(small)
+    per_group = (sum(small) + 4 * n_hbm) * N_STREAMS * W * itemsize
+    per_group += _per_group_cond_out_bytes(cfg, itemsize, n_steps)
+    return max(
+        0,
+        (vmem_budget - _shared_buf_bytes(cfg, itemsize)) // max(per_group, 1),
+    )
+
+
 def _ae_kernel_hbm(
     # VMEM inputs
     cur0_ref,        # [G*S, Q]

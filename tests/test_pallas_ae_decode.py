@@ -39,31 +39,27 @@ def test_fused_ae_decode_matches_scan():
 
 
 def test_ae_chunked_decode_matches_single_call():
-    """pos_offset re-priming: a long conditioned decode split into chunks
-    (each re-primed from the previous tail with the absolute-time offset)
-    must match one long call exactly — the frame conditioning stays on the
-    utterance clock (ADVICE r2 long-decode output budget, AE variant)."""
+    """Chunked conditioned decode (_chunked_ae_fused): tail re-priming with
+    dynamic pos_offset AND fixed-width encoding-frame slices must match one
+    long call exactly — the frame conditioning stays on the utterance clock
+    while the per-call VMEM cond tables stay bounded (ADVICE r2 long-decode
+    budget, AE variant)."""
+    from music_tpu.generate.wavenet_ae_generate import _chunked_ae_fused
+
     params = ae.init_params(jax.random.PRNGKey(3), TINY)
     need = TINY.receptive_field + max(TINY.dilations)
-    P = need + 12
-    prime = jax.random.randint(jax.random.PRNGKey(4), (2, P), 0, 32)
-    F = 40
+    prime = jax.random.randint(jax.random.PRNGKey(4), (2, need), 0, 32)
+    F = 80  # long utterance: many more frames than one chunk needs
     encoding = jax.random.normal(jax.random.PRNGKey(5), (2, F, 12)) * 0.3
 
     n_steps = 200
     one = generate_tokens_fused(
         params, encoding, prime, cfg=TINY, n_steps=n_steps, interpret=True
     )
-    ctx, pos, outs = prime, P, []
-    K = 64
-    while pos - P < n_steps:
-        k = min(n_steps - (pos - P), K)
-        chunk = generate_tokens_fused(
-            params, encoding, ctx, cfg=TINY, n_steps=k,
-            pos_offset=pos - ctx.shape[1], interpret=True,
+    for slice_frames in (False, True):
+        chunked = _chunked_ae_fused(
+            generate_tokens_fused, params, encoding, prime, cfg=TINY,
+            n_steps=n_steps, step_chunk=64, slice_frames=slice_frames,
+            interpret=True,
         )
-        outs.append(chunk)
-        pos += k
-        ctx = jnp.concatenate([ctx, chunk], axis=1)[:, -need:]
-    chunked = jnp.concatenate(outs, axis=1)
-    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(one))
+        np.testing.assert_array_equal(np.asarray(chunked), np.asarray(one))

@@ -137,3 +137,24 @@ def test_sharded_ae_loss_matches_unsharded():
             np.asarray(grads[k]), np.asarray(ref_grads[k]),
             rtol=2e-4, atol=1e-5, err_msg=k,
         )
+
+
+def test_ae_generate_batch_serving_surface(tmp_path):
+    """AE generate_batch reconstructs n source clips concurrently (scan
+    path off-TPU) and writes one wav per clip — the serving counterpart of
+    wavenet_generate.generate_batch for the conditioned decoder."""
+    from music_tpu.generate.wavenet_ae_generate import generate_batch
+
+    params = ae.init_params(jax.random.PRNGKey(11), TINY)
+    n, T = 3, TINY.receptive_field + 64
+    t = np.arange(T) / 16000.0
+    src = np.stack(
+        [0.4 * np.sin(2 * np.pi * f * t) for f in (220.0, 330.0, 440.0)]
+    ).astype(np.float32)
+    audio = generate_batch(
+        cfg=TINY, params=params, source_audios=src, out_dir=tmp_path
+    )
+    assert audio.shape == (n, T)
+    assert np.isfinite(audio).all()
+    for i in range(n):
+        assert (tmp_path / f"recon_{i:03d}.wav").exists()
