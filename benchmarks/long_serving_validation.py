@@ -36,6 +36,14 @@ def main():
     cfg = wn.WaveNetConfig()
     params = wn.init_params(jax.random.PRNGKey(0), cfg)
     n_steps = int(args.duration * 16000)
+    # first request pays the one-time jit/Mosaic compiles (relay-cached
+    # across processes); the second is the steady-state serving wall
+    t0 = time.time()
+    generate_batch(
+        cfg=cfg, params=params, n=args.n, duration=args.duration,
+        sample_mode="categorical", seed=3, out_dir=None,
+    )
+    cold_wall = time.time() - t0
     t0 = time.time()
     audio = generate_batch(
         cfg=cfg, params=params, n=args.n, duration=args.duration,
@@ -52,6 +60,7 @@ def main():
         "streams": args.n,
         "steps_per_stream": n_steps,
         "chunks": -(-n_steps // STEPS_PER_CALL),
+        "cold_wall_s": round(cold_wall, 1),
         "wall_s": round(wall, 1),
         "total_samples_per_sec": round(args.n * n_steps / wall, 0),
         "min_unique_codes_per_stream": int(min(uniq)),

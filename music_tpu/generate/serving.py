@@ -1,0 +1,192 @@
+"""Persistent multi-stream decode sessions (continuous batching).
+
+Production serving needs streams that start and stop INDEPENDENTLY while
+the chip stays busy: a request joins mid-flight, generates for a while,
+and leaves without disturbing the others.  The reference's serving story
+(wavenet/fast_generate.py:144-186) is one stream per process in a Python
+loop; music_tpu's :func:`generate_batch` serves fixed batches.  This
+module adds the layer between them: a :class:`DecodeSession` holds a
+FIXED row capacity — so ONE Pallas compile serves the whole session
+lifetime (a per-call group count would recompile for minutes on every
+admission change) — packs whatever streams are active into those rows
+each :meth:`step`, and re-primes every kernel call from the per-stream
+tail context.  Tail re-priming is the chunk-hand-off scheme proven
+token-exact against single-call decodes (tests/test_pallas_decode.py);
+priming is a *parallel* conv forward (MXU-batched, not sequential), so
+its cost is small against the >=2048-step calls the dispatch overhead
+already demands (CLAUDE.md perf rules).
+
+TPU-first consequences of the design:
+  - one fused-kernel launch per step() regardless of how many streams
+    are active (idle rows decode padding and are discarded — the
+    continuous-batching tradeoff);
+  - all shapes static: capacity, steps_per_call, and the kernel mode are
+    fixed at construction;
+  - per-call seeds advance so categorical streams stay independent
+    across steps.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from music_tpu.models import wavenet as wn
+from music_tpu.ops.mulaw import mu_law_decode
+
+
+class DecodeSession:
+    """Serve WaveNet decode streams that join and leave over time.
+
+    >>> sess = DecodeSession(cfg, params, capacity=32)
+    >>> a = sess.add(); b = sess.add(prime_codes)
+    >>> out = sess.step()          # {a: codes, b: codes} — one kernel call
+    >>> sess.finish(a)
+    >>> c = sess.add()             # joins without recompiling
+    >>> audio_b = sess.audio(out[b])
+
+    ``capacity``: max concurrent streams; resolved to whole kernel groups
+    (the plan may cap it — read ``session.capacity`` after construction).
+    ``steps_per_call``: samples every stream advances per :meth:`step`
+    (fixed — a varying step count is a fresh kernel compile).
+    ``backend``: "auto" (fused kernels on TPU, batched ``lax.scan``
+    elsewhere), "scan" (force the scan path), or "fused-interpret"
+    (resident kernel in interpret mode — CI/testing only; argmax).
+    """
+
+    def __init__(
+        self,
+        cfg: wn.WaveNetConfig,
+        params: dict,
+        *,
+        capacity: int | None = None,
+        dtype=jnp.bfloat16,
+        sample_mode: str = "categorical",
+        temperature: float = 1.0,
+        seed: int = 0,
+        steps_per_call: int = 4096,
+        backend: str = "auto",
+    ):
+        from music_tpu.generate.wavenet_generate import plan_fused_serving
+
+        self.cfg, self.params = cfg, params
+        self.dtype = dtype
+        self.sample_mode, self.temperature = sample_mode, temperature
+        self.steps_per_call = int(steps_per_call)
+        self._seed = int(seed)
+        self._prime_len = cfg.receptive_field + max(cfg.dilations)
+        self._interpret = False
+        self._extra: dict = {}
+
+        S = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+        want = int(capacity) if capacity else S
+        on_tpu = jax.default_backend() == "tpu"
+        if backend == "auto" and on_tpu:
+            fused, g_max, rings = plan_fused_serving(
+                cfg, S, dtype, self.steps_per_call, want
+            )
+            if rings:
+                self._extra = {"rings_in_hbm": True}
+        elif backend == "fused-interpret":
+            from music_tpu.kernels import wavenet_decode
+
+            if sample_mode != "argmax":
+                raise ValueError("fused-interpret supports argmax only "
+                                 "(no interpret PRNG lowering)")
+            S = 8 if jnp.dtype(dtype) != jnp.bfloat16 else 16
+            fused, g_max = wavenet_decode.generate_tokens_fused, -(-want // S)
+            self._interpret = True
+        elif backend in ("auto", "scan"):
+            fused, g_max = None, 1
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+
+        if fused is not None:
+            self._G = min(g_max, max(1, -(-want // S)))
+            self.capacity = S * self._G
+            self._S = S
+        else:
+            self._G, self._S = 1, S
+            self.capacity = want
+        self._fused = fused
+        self._streams: dict[int, np.ndarray] = {}
+        self._next_sid = 0
+
+    # -- admission -------------------------------------------------------
+    @property
+    def active(self) -> list[int]:
+        return list(self._streams)
+
+    def add(self, prime: np.ndarray | None = None) -> int:
+        """Admit a stream; returns its id.  ``prime``: >= receptive_field
+        + max dilation µ-law codes (defaults to silence, code Q//2 —
+        fast_generate.py:158-161's convention)."""
+        if prime is None:
+            prime = np.full(
+                (self._prime_len,), self.cfg.quantization_channels // 2, np.int32
+            )
+        prime = np.asarray(prime, np.int32)
+        if prime.ndim != 1 or prime.shape[0] < self._prime_len:
+            raise ValueError(
+                f"prime must be [>= {self._prime_len}] codes, got {prime.shape}"
+            )
+        if len(self._streams) >= self.capacity:
+            raise RuntimeError(
+                f"session full ({self.capacity} streams); finish() one first"
+            )
+        sid = self._next_sid
+        self._next_sid += 1
+        self._streams[sid] = prime[-self._prime_len:]
+        return sid
+
+    def finish(self, sid: int) -> None:
+        """Remove a stream; its rows free up at the next :meth:`step`."""
+        del self._streams[sid]
+
+    # -- decode ----------------------------------------------------------
+    def step(self) -> dict[int, np.ndarray]:
+        """Advance every active stream ``steps_per_call`` samples in one
+        kernel launch; returns ``{sid: [steps_per_call] int32 codes}``."""
+        if not self._streams:
+            return {}
+        sids = list(self._streams)
+        rows = np.stack([self._streams[s] for s in sids])
+        pad = self.capacity - len(sids)
+        if pad and self._fused is not None:
+            rows = np.concatenate([rows, np.tile(rows[-1:], (pad, 1))], axis=0)
+        rows = jnp.asarray(rows, jnp.int32)
+
+        k = self.steps_per_call
+        if self._fused is not None:
+            from music_tpu.generate.wavenet_generate import jit_fused
+
+            call = jit_fused(
+                self._fused, cfg=self.cfg, n_steps=k,
+                n_streams=self._S, n_stream_groups=self._G, dtype=self.dtype,
+                sample_mode=self.sample_mode, temperature=self.temperature,
+                interpret=self._interpret, **self._extra,
+            )
+            out = call(
+                self.params, (rows,),
+                {"seed": jnp.asarray(self._seed, jnp.int32)},
+            )
+        else:
+            out = wn.generate_tokens(
+                self.params, rows, jax.random.PRNGKey(self._seed),
+                cfg=self.cfg, n_steps=k, prime_len=rows.shape[1],
+                sample_mode=self.sample_mode, temperature=self.temperature,
+            )
+        self._seed += 7919  # distinct PRNG stream per call
+        out = np.asarray(out)
+        result = {}
+        for i, sid in enumerate(sids):
+            result[sid] = out[i]
+            self._streams[sid] = np.concatenate(
+                [self._streams[sid], out[i]]
+            )[-self._prime_len:]
+        return result
+
+    def audio(self, codes: np.ndarray) -> np.ndarray:
+        """µ-law-decode a stream's codes to float audio."""
+        return np.asarray(mu_law_decode(codes, self.cfg.quantization_channels))

@@ -23,6 +23,15 @@ from music_tpu.models import wavenet_ae as ae
 from music_tpu.ops.mulaw import mu_law_decode
 
 
+def _sliced_ae_fused(params, encoding, ctx, *, fused, cfg, Fc, n_steps,
+                     f0, pos_offset, **kw):
+    """Fixed-width (``Fc``) frame slice at traced offset ``f0``, then the
+    conditioned fused decode — one jit-stable callable for all chunks."""
+    enc = jax.lax.dynamic_slice_in_dim(encoding, f0, Fc, axis=1)
+    return fused(params, enc, ctx, cfg=cfg, n_steps=n_steps,
+                 pos_offset=pos_offset, **kw)
+
+
 def _chunked_ae_fused(fused, params, encoding, ctx, *, cfg, n_steps,
                       slice_frames: bool = True, step_chunk: int | None = None,
                       **kw):
@@ -38,8 +47,12 @@ def _chunked_ae_fused(fused, params, encoding, ctx, *, cfg, n_steps,
     constant slice width keeps ONE kernel compile for all chunks.
     ``slice_frames=False`` passes the whole encoding (the HBM kernel
     streams its tables from HBM, so slicing buys nothing there).
+
+    Each chunk runs as ONE jitted dispatch; ``pos_offset`` and the frame
+    slice start are traced scalars, so every chunk shares one executable
+    (wavenet_generate.jit_fused).
     """
-    from music_tpu.generate.wavenet_generate import STEPS_PER_CALL
+    from music_tpu.generate.wavenet_generate import STEPS_PER_CALL, jit_fused
 
     if step_chunk is None:
         step_chunk = STEPS_PER_CALL
@@ -48,18 +61,27 @@ def _chunked_ae_fused(fused, params, encoding, ctx, *, cfg, n_steps,
     F = encoding.shape[1]
     # frames covering a P-token prime + a full chunk, plus clamp slack
     Fc = min(F, -(-(P + step_chunk) // pool) + 2)
+    do_slice = slice_frames and Fc < F
+
     outs, done = [], 0
     while done < n_steps:
         k = min(n_steps - done, step_chunk)
-        if slice_frames and Fc < F:
+        if do_slice:
             f0 = max(0, min(done // pool, F - Fc))
-            enc = jax.lax.dynamic_slice_in_dim(encoding, f0, Fc, axis=1)
+            call = jit_fused(
+                _sliced_ae_fused, fused=fused, cfg=cfg, Fc=Fc, n_steps=k, **kw
+            )
+            codes = call(
+                params, (encoding, ctx),
+                {"f0": jnp.asarray(f0, jnp.int32),
+                 "pos_offset": jnp.asarray(done - f0 * pool, jnp.int32)},
+            )
         else:
-            f0, enc = 0, encoding
-        codes = fused(
-            params, enc, ctx, cfg=cfg, n_steps=k,
-            pos_offset=done - f0 * pool, **kw,
-        )
+            call = jit_fused(fused, cfg=cfg, n_steps=k, **kw)
+            codes = call(
+                params, (encoding, ctx),
+                {"pos_offset": jnp.asarray(done, jnp.int32)},
+            )
         outs.append(codes)
         done += k
         if done < n_steps:

@@ -37,6 +37,32 @@ streams x 4 B = 1 MB/group — the budget the max_stream_groups helpers
 charge via their ``n_steps`` argument)."""
 
 
+_JIT_CACHE: dict = {}
+
+
+def jit_fused(fn, **static_kw):
+    """jit-wrap a fused decode wrapper, everything but (params, rows, and
+    the dynamic scalars) static.
+
+    The wrapper functions run EAGERLY when called directly: the parallel
+    prime pass + weight repack is dozens of XLA ops, and the axon relay
+    charges ~30-40 ms dispatch PER OP — which made a chunked 10 s serving
+    request ~30x slower than its device time.  The jitted form is ONE
+    dispatch per chunk; per-chunk values (``seed``, the AE ``pos_offset``)
+    ride in the ``dyn`` dict as traced scalars so chunks share one
+    executable.  Cached per (fn, static kwargs) — reuse across calls and
+    sessions."""
+    key = (fn, frozenset(static_kw.items()))
+    jitted = _JIT_CACHE.get(key)
+    if jitted is None:
+
+        def call(params, arrays, dyn):
+            return fn(params, *arrays, **static_kw, **dyn)
+
+        jitted = _JIT_CACHE[key] = jax.jit(call)
+    return jitted
+
+
 def _chunked_fused(fused, params, rows, *, cfg, n_steps, seed=None,
                    step_chunk=STEPS_PER_CALL, chunk_kw=None, **kw):
     """Run a fused decode kernel in <=step_chunk-step calls, re-priming each
@@ -44,18 +70,22 @@ def _chunked_fused(fused, params, rows, *, cfg, n_steps, seed=None,
 
     ``seed`` may be a traced scalar (per-chunk offsets keep PRNG streams
     distinct) or None for kernels without a sampler seed.  ``chunk_kw``:
-    optional ``steps_done -> dict`` of per-chunk kwargs (the AE path passes
-    ``pos_offset`` so the frame conditioning stays on the utterance clock).
+    optional ``steps_done -> dict`` of per-chunk DYNAMIC kwargs (the AE
+    path passes ``pos_offset`` so the frame conditioning stays on the
+    utterance clock); values must be jit-traceable scalars.  Each chunk
+    runs as ONE jitted dispatch (see :func:`jit_fused`).
     """
     prime_len = cfg.receptive_field + max(cfg.dilations)
     outs = []
     done = 0
     while done < n_steps:
         k = min(n_steps - done, step_chunk)
-        extra = dict(chunk_kw(done)) if chunk_kw else {}
+        dyn = {key: jnp.asarray(v) for key, v in (chunk_kw(done) or {}).items()} \
+            if chunk_kw else {}
         if seed is not None:
-            extra["seed"] = seed + 7919 * len(outs)
-        codes = fused(params, rows, cfg=cfg, n_steps=k, **extra, **kw)
+            dyn["seed"] = jnp.asarray(seed + 7919 * len(outs), jnp.int32)
+        call = jit_fused(fused, cfg=cfg, n_steps=k, **kw)
+        codes = call(params, (rows,), dyn)
         outs.append(codes)
         done += k
         if done < n_steps:
@@ -91,6 +121,55 @@ def _fused_decode(params, prime, cfg, n_steps, on_tpu, sample_mode, temperature,
         )
     except NotImplementedError:
         return None
+
+
+def plan_fused_serving(cfg, S, dtype, call_steps, n):
+    """Pick the fused serving kernel and group cap for ``n`` streams of
+    ``S``-per-tile width at ``call_steps``-step kernel calls.
+
+    Returns ``(fused_fn, g_max, rings_in_hbm)``; ``fused_fn is None``
+    means no Pallas kernel supports the config (callers fall back to the
+    batched ``lax.scan`` path).  Preference order: resident kernel
+    (lowest step latency) when weights + rings + output fit VMEM, else
+    the HBM-streaming kernel; when ``n`` outgrows the VMEM-ring group
+    caps, upgrade to HBM ring state — large-dilation ring slots live in
+    HBM (one [S, W] tile in+out per group per step), lifting the
+    serving-group ceiling by ~30-60x (marginal throughput per extra
+    group diminishes — docs/BENCHMARKS.md "HBM ring state" — but one
+    bigger launch still beats several sequential ones)."""
+    from music_tpu.kernels import wavenet_decode, wavenet_decode_hbm
+
+    fused, g_max, rings_in_hbm = None, 1, False
+    res_g = hbm_g = 0
+    try:
+        wavenet_decode._grouping(cfg)
+        res_g = wavenet_decode.max_stream_groups(cfg, S, dtype, n_steps=call_steps)
+    except NotImplementedError:
+        pass
+    try:
+        wavenet_decode_hbm._grouping(cfg, wavenet_decode_hbm._row_lanes(cfg))
+        if (
+            wavenet_decode_hbm._post_block(cfg) == 128
+            and cfg.dilation_channels % 8 == 0
+            and not cfg.use_bias
+        ):
+            hbm_g = wavenet_decode_hbm.max_stream_groups(
+                cfg, S, dtype, n_steps=call_steps
+            )
+    except NotImplementedError:
+        pass
+    if res_g >= 1:
+        fused, g_max = wavenet_decode.generate_tokens_fused, res_g
+    elif hbm_g >= 1:
+        fused, g_max = wavenet_decode_hbm.generate_tokens_fused_hbm, hbm_g
+    if fused is not None and n > S * g_max and hbm_g >= 1:
+        hbmr_g = wavenet_decode_hbm.max_stream_groups_hbm_rings(
+            cfg, S, dtype, n_steps=call_steps
+        )
+        if hbmr_g > g_max:
+            fused = wavenet_decode_hbm.generate_tokens_fused_hbm
+            g_max, rings_in_hbm = hbmr_g, True
+    return fused, g_max, rings_in_hbm
 
 
 def generate(
@@ -226,43 +305,9 @@ def generate_batch(
     # VMEM output budget is charged per CALL, not per request
     call_steps = min(n_steps, STEPS_PER_CALL)
     if on_tpu:
-        res_g = hbm_g = 0
-        try:
-            wavenet_decode._grouping(cfg)
-            res_g = wavenet_decode.max_stream_groups(
-                cfg, S, dtype, n_steps=call_steps
-            )
-        except NotImplementedError:
-            pass
-        try:
-            wavenet_decode_hbm._grouping(cfg, wavenet_decode_hbm._row_lanes(cfg))
-            if (
-                wavenet_decode_hbm._post_block(cfg) == 128
-                and cfg.dilation_channels % 8 == 0
-                and not cfg.use_bias
-            ):
-                hbm_g = wavenet_decode_hbm.max_stream_groups(
-                    cfg, S, dtype, n_steps=call_steps
-                )
-        except NotImplementedError:
-            pass
-        if res_g >= 1:
-            fused, g_max = wavenet_decode.generate_tokens_fused, res_g
-        elif hbm_g >= 1:
-            fused, g_max = wavenet_decode_hbm.generate_tokens_fused_hbm, hbm_g
-        # when the request outgrows the VMEM-ring group caps, upgrade to
-        # the HBM-ring-state mode: large-dilation ring slots live in HBM
-        # (one [S, W] tile in+out per group per step), lifting the
-        # serving-group ceiling by ~30-60x.  Marginal throughput per extra
-        # group diminishes (docs/BENCHMARKS.md "HBM ring state"), but one
-        # bigger launch still beats several sequential ones.
-        if fused is not None and n > S * g_max and hbm_g >= 1:
-            hbmr_g = wavenet_decode_hbm.max_stream_groups_hbm_rings(
-                cfg, S, dtype, n_steps=call_steps
-            )
-            if hbmr_g > g_max:
-                fused = wavenet_decode_hbm.generate_tokens_fused_hbm
-                g_max, rings_in_hbm = hbmr_g, True
+        fused, g_max, rings_in_hbm = plan_fused_serving(
+            cfg, S, dtype, call_steps, n
+        )
 
     def decode_rows(p, rows, seed_scalar):
         """Decode one device's rows; seed may be a traced scalar."""

@@ -477,7 +477,7 @@ def generate_tokens_fused(
         ring0, cur0, prev0,
         w["ecur"], w["eprev"], w["fgp"], w["fgc"], w["densew"], w["skipw"],
         w["post1"], w["post2"],
-        jnp.asarray([seed], jnp.int32),
+        jnp.reshape(jnp.asarray(seed, jnp.int32), (1,)),  # trace-safe (seed may be a jit operand)
     )
     # out rows: block b holds streams at times [128b, 128(b+1))
     toks = out.reshape(total // 128, S_total, 128)

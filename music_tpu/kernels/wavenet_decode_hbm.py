@@ -1052,7 +1052,7 @@ def generate_tokens_fused_hbm(
         cur0, prev0, w["ecur"], w["eprev"],
         ring0, w["gate"], w["proj"], w["post"],
         *scale_ops,
-        jnp.asarray([seed], jnp.int32),
+        jnp.reshape(jnp.asarray(seed, jnp.int32), (1,)),  # trace-safe (seed may be a jit operand)
     )
     if hbm_min_d:
         out = out[0]  # (tokens, final ring state) — state only aliases ring0
