@@ -209,6 +209,40 @@ def main():
     except Exception as e:
         print(f"# scaled hbm mode failed: {e}", file=sys.stderr)
 
+    # request-scale serving: the continuous-batching DecodeSession
+    # (generate/serving.py) — full occupancy, ONE jitted dispatch per
+    # step; the session's per-step seed advance keeps inputs fresh for
+    # the relay result cache and step() fetches to host itself.  Last so
+    # a cold executable compile can only cost THIS block.
+    try:
+        if _elapsed() < TIME_BUDGET_S - 200:
+            from music_tpu.generate.serving import DecodeSession
+
+            sess = DecodeSession(
+                cfg, params, capacity=32, dtype=jnp.bfloat16,
+                sample_mode="categorical", steps_per_call=8192,
+                seed=int(time.time() * 1000) % 2**31,
+            )
+            for _ in range(sess.capacity):
+                sess.add()
+            sess.step()  # compile
+            sess.step()  # second call can also pay a multi-second cost
+            t0 = time.perf_counter()
+            sess.step()
+            dt = time.perf_counter() - t0
+            out["request_serving"] = {
+                "mode": "DecodeSession bf16x16xG2, 8192 steps/call",
+                "streams": sess.capacity,
+                "total_samples_per_sec": round(
+                    sess.capacity * sess.steps_per_call / dt, 1
+                ),
+            }
+            print(f"# session serving: "
+                  f"{sess.capacity * sess.steps_per_call / dt:.0f}/s total",
+                  file=sys.stderr)
+    except Exception as e:
+        print(f"# request serving mode failed: {e}", file=sys.stderr)
+
     print(json.dumps(out))
 
 

@@ -114,12 +114,23 @@ def main():
     agree = out["hbm_vs_scan_agreement"]
 
     # --- the serving request: n concurrent multi-second reconstructions ---
+    # first request pays the one-time jit/Mosaic compiles; the second is
+    # the steady-state serving wall
     n_steps = int(args.duration * sr)
     srcs = np.stack([
         clips[i % 2][: n_steps] for i in range(args.n)
     ]).astype(np.float32)
+    # different source rows per request — the relay result-cache would
+    # serve a repeated (executable, inputs) pair and fake the warm timing
+    srcs_warm = np.stack([
+        clips[(i + 1) % 2][: n_steps] for i in range(args.n)
+    ]).astype(np.float32)
     t1 = time.time()
-    audio = generate_batch(cfg=cfg, params=params, source_audios=srcs)
+    generate_batch(cfg=cfg, params=params, source_audios=srcs)
+    cold_wall = time.time() - t1
+    out["cold_wall_s"] = round(cold_wall, 1)
+    t1 = time.time()
+    audio = generate_batch(cfg=cfg, params=params, source_audios=srcs_warm)
     wall = time.time() - t1
     assert audio.shape == (args.n, n_steps), audio.shape
     uniq = [len(np.unique(np.round(a[8000:] * 127))) for a in audio]

@@ -53,6 +53,11 @@ class DecodeSession:
     ``backend``: "auto" (fused kernels on TPU, batched ``lax.scan``
     elsewhere), "scan" (force the scan path), or "fused-interpret"
     (resident kernel in interpret mode — CI/testing only; argmax).
+    ``mesh``: a Mesh with a ``data`` axis scales the session out over
+    chips — capacity multiplies by the axis size, rows shard over it, and
+    every device runs its own kernel instance per step (decode has no
+    cross-chip communication); per-device PRNG streams from
+    ``axis_index``.  Axes other than ``data`` must have size 1.
     """
 
     def __init__(
@@ -67,6 +72,7 @@ class DecodeSession:
         seed: int = 0,
         steps_per_call: int = 4096,
         backend: str = "auto",
+        mesh=None,
     ):
         from music_tpu.generate.wavenet_generate import plan_fused_serving
 
@@ -79,8 +85,16 @@ class DecodeSession:
         self._interpret = False
         self._extra: dict = {}
 
+        self._mesh = mesh
+        D = mesh.shape.get("data", 1) if mesh is not None else 1
+        if mesh is not None and int(np.prod(
+            [s for a, s in mesh.shape.items() if a != "data"]
+        )) != 1:
+            raise ValueError("serving mesh must be data-only (other axes = 1)")
+
         S = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
         want = int(capacity) if capacity else S
+        want = -(-want // D)  # per-device rows; total capacity scales by D
         on_tpu = jax.default_backend() == "tpu"
         if backend == "auto" and on_tpu:
             fused, g_max, rings = plan_fused_serving(
@@ -104,14 +118,51 @@ class DecodeSession:
 
         if fused is not None:
             self._G = min(g_max, max(1, -(-want // S)))
-            self.capacity = S * self._G
+            per_dev = S * self._G
             self._S = S
         else:
             self._G, self._S = 1, S
-            self.capacity = want
+            per_dev = want
+        self.capacity = D * per_dev
         self._fused = fused
         self._streams: dict[int, np.ndarray] = {}
         self._next_sid = 0
+        self._sharded = (
+            self._build_sharded_step(mesh) if D > 1 else None
+        )
+
+    def _build_sharded_step(self, mesh):
+        """One jitted shard_map program: rows shard over ``data``, params
+        replicate, every device runs its own kernel/scan instance with a
+        PRNG stream offset by ``axis_index`` (mirrors
+        wavenet_generate.generate_batch's mesh path)."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        cfg, k = self.cfg, self.steps_per_call
+        fused, S, G, dtype = self._fused, self._S, self._G, self.dtype
+        mode, temp, extra = self.sample_mode, self.temperature, self._extra
+        interpret = self._interpret
+
+        def body(p, rows, seed_arr):
+            seed = seed_arr[0] + jax.lax.axis_index("data")
+            if fused is not None:
+                return fused(
+                    p, rows, cfg=cfg, n_steps=k, n_streams=S,
+                    n_stream_groups=G, dtype=dtype, sample_mode=mode,
+                    temperature=temp, seed=seed, interpret=interpret, **extra,
+                )
+            return wn.generate_tokens(
+                p, rows, jax.random.PRNGKey(seed), cfg=cfg, n_steps=k,
+                prime_len=rows.shape[1], sample_mode=mode, temperature=temp,
+            )
+
+        pspecs = jax.tree_util.tree_map(lambda _: P(), self.params)
+        return jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(pspecs, P("data", None), P()),
+            out_specs=P("data", None),
+        ))
 
     # -- admission -------------------------------------------------------
     @property
@@ -153,12 +204,16 @@ class DecodeSession:
         sids = list(self._streams)
         rows = np.stack([self._streams[s] for s in sids])
         pad = self.capacity - len(sids)
-        if pad and self._fused is not None:
+        if pad and (self._fused is not None or self._sharded is not None):
             rows = np.concatenate([rows, np.tile(rows[-1:], (pad, 1))], axis=0)
         rows = jnp.asarray(rows, jnp.int32)
 
         k = self.steps_per_call
-        if self._fused is not None:
+        if self._sharded is not None:
+            out = self._sharded(
+                self.params, rows, jnp.asarray([self._seed], jnp.int32)
+            )
+        elif self._fused is not None:
             from music_tpu.generate.wavenet_generate import jit_fused
 
             call = jit_fused(

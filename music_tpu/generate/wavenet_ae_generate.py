@@ -23,6 +23,14 @@ from music_tpu.models import wavenet_ae as ae
 from music_tpu.ops.mulaw import mu_law_decode
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_encode(cfg: ae.WaveNetAEConfig):
+    """Jitted encoder per config.  ``ae.encode`` called eagerly is ~30
+    conv ops dispatched one by one — minutes through the relay for a
+    serving batch; jitted it is one dispatch."""
+    return jax.jit(lambda p, t: ae.encode(p, t, cfg))
+
+
 def _sliced_ae_fused(params, encoding, ctx, *, fused, cfg, Fc, n_steps,
                      f0, pos_offset, **kw):
     """Fixed-width (``Fc``) frame slice at traced offset ``f0``, then the
@@ -119,7 +127,7 @@ def generate(
 
     codes = mu_law_encode_np(np.asarray(source_audio), cfg.quantization_channel)
     tokens = jnp.asarray(codes, jnp.int32)[None, :]
-    encoding = ae.encode(params, tokens, cfg)
+    encoding = _jit_encode(cfg)(params, tokens)
 
     n_steps = len(codes) if duration is None else min(int(duration * sr), len(codes))
     fused_min = cfg.receptive_field + max(cfg.dilations)
@@ -187,7 +195,7 @@ def generate_batch(
     n = src.shape[0]
     codes = np.stack([mu_law_encode_np(row, cfg.quantization_channel) for row in src])
     tokens = jnp.asarray(codes, jnp.int32)
-    encoding = ae.encode(params, tokens, cfg)
+    encoding = _jit_encode(cfg)(params, tokens)
 
     n_steps = src.shape[1] if duration is None else min(int(duration * sr), src.shape[1])
     fused_min = cfg.receptive_field + max(cfg.dilations)
@@ -226,16 +234,16 @@ def generate_batch(
             for lo in range(0, n, per_call_rows):
                 rows = prime[lo : lo + per_call_rows]
                 enc = encoding[lo : lo + per_call_rows]
+                # kernel kwargs ride through to jit_fused's static key —
+                # a fresh functools.partial here would defeat its cache
+                # and recompile every request
                 parts.append(
                     _chunked_ae_fused(
-                        functools.partial(
-                            hbm_k.generate_tokens_fused_hbm,
-                            n_stream_groups=-(-rows.shape[0] // res_k.N_STREAMS),
-                            **extra,
-                        ),
+                        hbm_k.generate_tokens_fused_hbm,
                         params, enc, rows, cfg=cfg, n_steps=n_steps,
                         slice_frames=False,  # HBM kernel streams its tables
-                        dtype=dtype,
+                        n_stream_groups=-(-rows.shape[0] // res_k.N_STREAMS),
+                        dtype=dtype, **extra,
                     )
                 )
             out_codes = jnp.concatenate(parts, axis=0)

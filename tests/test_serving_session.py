@@ -92,3 +92,30 @@ def test_session_audio_roundtrip():
     codes = sess.step()[sid]
     audio = sess.audio(codes)
     assert audio.shape == (16,) and np.isfinite(audio).all()
+
+
+def test_session_mesh_scale_out_matches_single():
+    """A data-mesh session shards its rows over devices (one decode
+    program per device); argmax outputs must equal the meshless session's
+    for identical primes, and capacity scales by the axis size."""
+    from music_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec(data=2), devices=jax.devices()[:2])
+    params = wn.init_params(jax.random.PRNGKey(3), TINY)
+    P = TINY.receptive_field + max(TINY.dilations)
+    primes = np.random.default_rng(9).integers(0, 32, (4, P)).astype(np.int32)
+
+    plain = DecodeSession(
+        TINY, params, capacity=4, dtype=jnp.float32, sample_mode="argmax",
+        steps_per_call=40, backend="scan",
+    )
+    meshed = DecodeSession(
+        TINY, params, capacity=4, dtype=jnp.float32, sample_mode="argmax",
+        steps_per_call=40, backend="scan", mesh=mesh,
+    )
+    assert meshed.capacity == 4  # 2 devices x 2 rows
+    ids_p = [plain.add(p) for p in primes]
+    ids_m = [meshed.add(p) for p in primes]
+    out_p, out_m = plain.step(), meshed.step()
+    for a, b in zip(ids_p, ids_m):
+        np.testing.assert_array_equal(out_p[a], out_m[b])
