@@ -245,3 +245,36 @@ class DecodeSession:
     def audio(self, codes: np.ndarray) -> np.ndarray:
         """µ-law-decode a stream's codes to float audio."""
         return np.asarray(mu_law_decode(codes, self.cfg.quantization_channels))
+
+    # -- continuity -------------------------------------------------------
+    def state_dict(self) -> dict:
+        """Serializable session state: per-stream tail contexts + counters.
+        A restored session continues every stream exactly where it left
+        off (the tail IS the full decode state — re-priming rebuilds the
+        kernel caches from it).  Pair with ``np.savez`` or
+        ``core.checkpoint`` for failure recovery of a serving process."""
+        return {
+            "streams": {int(k): np.asarray(v) for k, v in self._streams.items()},
+            "next_sid": self._next_sid,
+            "seed": self._seed,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        """Restore :meth:`state_dict` output into this session (must be
+        constructed with a compatible config/capacity)."""
+        streams = state["streams"]
+        if len(streams) > self.capacity:
+            raise ValueError(
+                f"state has {len(streams)} streams, capacity {self.capacity}"
+            )
+        for tail in streams.values():
+            tail = np.asarray(tail)
+            if tail.shape != (self._prime_len,):
+                raise ValueError(
+                    f"stream tail must be [{self._prime_len}], got {tail.shape}"
+                )
+        self._streams = {
+            int(k): np.asarray(v, np.int32) for k, v in streams.items()
+        }
+        self._next_sid = int(state["next_sid"])
+        self._seed = int(state["seed"])

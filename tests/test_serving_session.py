@@ -119,3 +119,29 @@ def test_session_mesh_scale_out_matches_single():
     out_p, out_m = plain.step(), meshed.step()
     for a, b in zip(ids_p, ids_m):
         np.testing.assert_array_equal(out_p[a], out_m[b])
+
+
+def test_session_state_roundtrip_continues_exactly():
+    """A session restored from state_dict continues every stream exactly
+    where the original left off — serving-process failure recovery."""
+    params = wn.init_params(jax.random.PRNGKey(5), TINY)
+    P = TINY.receptive_field + max(TINY.dilations)
+    primes = np.random.default_rng(11).integers(0, 32, (2, P)).astype(np.int32)
+
+    kw = dict(capacity=2, dtype=jnp.float32, sample_mode="argmax",
+              steps_per_call=30, backend="scan")
+    a = DecodeSession(TINY, params, **kw)
+    ids = [a.add(p) for p in primes]
+    a.step()
+    state = a.state_dict()
+
+    b = DecodeSession(TINY, params, **kw)
+    b.load_state_dict(state)
+    assert sorted(b.active) == sorted(ids)
+    out_a, out_b = a.step(), b.step()
+    for sid in ids:
+        np.testing.assert_array_equal(out_a[sid], out_b[sid])
+
+    with pytest.raises(ValueError, match="stream tail"):
+        b.load_state_dict({"streams": {0: np.zeros(3, np.int32)},
+                           "next_sid": 1, "seed": 0})
