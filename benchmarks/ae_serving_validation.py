@@ -42,7 +42,7 @@ def main():
     args = ap.parse_args()
 
     from music_tpu.data.audio import mu_law_encode_np
-    from music_tpu.generate.wavenet_ae_generate import generate_batch
+    from music_tpu.generate.wavenet_ae_generate import _jit_encode, generate_batch
     from music_tpu.kernels import wavenet_ae_decode as res_k
     from music_tpu.kernels import wavenet_ae_decode_hbm as hbm_k
     from music_tpu.models import wavenet_ae as ae
@@ -93,7 +93,7 @@ def main():
     k = args.agree_steps
     src2 = np.stack([c[: P + k] for c in codes]).astype(np.int64)
     toks = jnp.asarray(src2, jnp.int32)
-    enc = ae.encode(params, toks, cfg)
+    enc = _jit_encode(cfg)(params, toks)
     ref = np.asarray(ae.generate_tokens(
         params, enc, toks[:, :P], jax.random.PRNGKey(0), cfg=cfg,
         n_steps=k, sample_mode="argmax",
@@ -129,6 +129,10 @@ def main():
     generate_batch(cfg=cfg, params=params, source_audios=srcs)
     cold_wall = time.time() - t1
     out["cold_wall_s"] = round(cold_wall, 1)
+    # CLAUDE.md: the SECOND call can also pay a multi-second cost — warm
+    # twice before timing (fresh inputs each time for the relay cache)
+    generate_batch(cfg=cfg, params=params,
+                   source_audios=np.roll(srcs, 7, axis=1))
     t1 = time.time()
     audio = generate_batch(cfg=cfg, params=params, source_audios=srcs_warm)
     wall = time.time() - t1

@@ -46,18 +46,21 @@ class DecodeSession:
     >>> c = sess.add()             # joins without recompiling
     >>> audio_b = sess.audio(out[b])
 
-    ``capacity``: max concurrent streams; resolved to whole kernel groups
-    (the plan may cap it — read ``session.capacity`` after construction).
+    ``capacity``: max concurrent streams — an ADMISSION bound, never
+    raised (the kernel may launch more rows to fill whole groups; the
+    VMEM plan may LOWER it — read ``session.capacity`` after
+    construction).  With ``mesh``, ``capacity`` is the TOTAL across
+    devices; omitting it defaults to one full kernel group per device.
     ``steps_per_call``: samples every stream advances per :meth:`step`
     (fixed — a varying step count is a fresh kernel compile).
     ``backend``: "auto" (fused kernels on TPU, batched ``lax.scan``
     elsewhere), "scan" (force the scan path), or "fused-interpret"
     (resident kernel in interpret mode — CI/testing only; argmax).
     ``mesh``: a Mesh with a ``data`` axis scales the session out over
-    chips — capacity multiplies by the axis size, rows shard over it, and
-    every device runs its own kernel instance per step (decode has no
-    cross-chip communication); per-device PRNG streams from
-    ``axis_index``.  Axes other than ``data`` must have size 1.
+    chips — rows shard over it and every device runs its own kernel
+    instance per step (decode has no cross-chip communication);
+    per-device PRNG streams from ``axis_index``.  Axes other than
+    ``data`` must have size 1.
     """
 
     def __init__(
@@ -80,21 +83,17 @@ class DecodeSession:
         self.dtype = dtype
         self.sample_mode, self.temperature = sample_mode, temperature
         self.steps_per_call = int(steps_per_call)
-        self._seed = int(seed)
+        self._seed = int(seed) % 2**31
         self._prime_len = cfg.receptive_field + max(cfg.dilations)
         self._interpret = False
         self._extra: dict = {}
 
         self._mesh = mesh
         D = mesh.shape.get("data", 1) if mesh is not None else 1
-        if mesh is not None and int(np.prod(
-            [s for a, s in mesh.shape.items() if a != "data"]
-        )) != 1:
-            raise ValueError("serving mesh must be data-only (other axes = 1)")
 
         S = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
-        want = int(capacity) if capacity else S
-        want = -(-want // D)  # per-device rows; total capacity scales by D
+        want_total = int(capacity) if capacity else None
+        want = -(-(want_total or S) // D)  # per-device rows for the plan
         on_tpu = jax.default_backend() == "tpu"
         if backend == "auto" and on_tpu:
             fused, g_max, rings = plan_fused_serving(
@@ -108,7 +107,6 @@ class DecodeSession:
             if sample_mode != "argmax":
                 raise ValueError("fused-interpret supports argmax only "
                                  "(no interpret PRNG lowering)")
-            S = 8 if jnp.dtype(dtype) != jnp.bfloat16 else 16
             fused, g_max = wavenet_decode.generate_tokens_fused, -(-want // S)
             self._interpret = True
         elif backend in ("auto", "scan"):
@@ -123,21 +121,25 @@ class DecodeSession:
         else:
             self._G, self._S = 1, S
             per_dev = want
-        self.capacity = D * per_dev
+        # _rows: what the kernel launches (whole groups); capacity: the
+        # admission bound — an explicit request is never silently raised
+        self._rows = D * per_dev
+        self.capacity = (
+            min(want_total, self._rows) if want_total else self._rows
+        )
         self._fused = fused
         self._streams: dict[int, np.ndarray] = {}
         self._next_sid = 0
         self._sharded = (
-            self._build_sharded_step(mesh) if D > 1 else None
+            self._build_sharded_step(mesh) if mesh is not None else None
         )
 
     def _build_sharded_step(self, mesh):
-        """One jitted shard_map program: rows shard over ``data``, params
-        replicate, every device runs its own kernel/scan instance with a
-        PRNG stream offset by ``axis_index`` (mirrors
-        wavenet_generate.generate_batch's mesh path)."""
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+        """One jitted program per step on a data mesh: every device runs
+        its own kernel/scan instance with a PRNG stream offset by
+        ``axis_index`` (scaffolding shared with generate_batch via
+        wavenet_generate.sharded_rows_program)."""
+        from music_tpu.generate.wavenet_generate import sharded_rows_program
 
         cfg, k = self.cfg, self.steps_per_call
         fused, S, G, dtype = self._fused, self._S, self._G, self.dtype
@@ -157,12 +159,7 @@ class DecodeSession:
                 prime_len=rows.shape[1], sample_mode=mode, temperature=temp,
             )
 
-        pspecs = jax.tree_util.tree_map(lambda _: P(), self.params)
-        return jax.jit(shard_map(
-            body, mesh=mesh,
-            in_specs=(pspecs, P("data", None), P()),
-            out_specs=P("data", None),
-        ))
+        return sharded_rows_program(mesh, self.params, body)
 
     # -- admission -------------------------------------------------------
     @property
@@ -203,7 +200,7 @@ class DecodeSession:
             return {}
         sids = list(self._streams)
         rows = np.stack([self._streams[s] for s in sids])
-        pad = self.capacity - len(sids)
+        pad = self._rows - len(sids)
         if pad and (self._fused is not None or self._sharded is not None):
             rows = np.concatenate([rows, np.tile(rows[-1:], (pad, 1))], axis=0)
         rows = jnp.asarray(rows, jnp.int32)
@@ -232,7 +229,9 @@ class DecodeSession:
                 cfg=self.cfg, n_steps=k, prime_len=rows.shape[1],
                 sample_mode=self.sample_mode, temperature=self.temperature,
             )
-        self._seed += 7919  # distinct PRNG stream per call
+        # distinct PRNG stream per call; wrap — int32 SMEM operand, and
+        # long-lived sessions would otherwise overflow after ~271k steps
+        self._seed = (self._seed + 7919) % 2**31
         out = np.asarray(out)
         result = {}
         for i, sid in enumerate(sids):
@@ -277,4 +276,4 @@ class DecodeSession:
             int(k): np.asarray(v, np.int32) for k, v in streams.items()
         }
         self._next_sid = int(state["next_sid"])
-        self._seed = int(state["seed"])
+        self._seed = int(state["seed"]) % 2**31

@@ -201,52 +201,62 @@ def generate_batch(
     fused_min = cfg.receptive_field + max(cfg.dilations)
     on_tpu = jax.default_backend() == "tpu"
 
-    if not on_tpu or tokens.shape[1] < fused_min:
-        keys = jax.random.PRNGKey(0)
-        out_codes = ae.generate_tokens(
-            params, encoding, tokens[:, : min(cfg.receptive_field, tokens.shape[1])],
-            keys, cfg=cfg, n_steps=n_steps, sample_mode="argmax",
-        )
-    else:
+    out_codes = None
+    if on_tpu and tokens.shape[1] >= fused_min:
         call_steps = min(n_steps, STEPS_PER_CALL)
         weight_bytes = sum(
             int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(params)
         )
         prime = tokens[:, :fused_min]
-        if n <= res_k.N_STREAMS and weight_bytes < 10e6:
-            out_codes = _chunked_ae_fused(
-                res_k.generate_tokens_fused, params, encoding, prime,
-                cfg=cfg, n_steps=n_steps, dtype=dtype,
-            )
-        else:
-            G_need = -(-n // res_k.N_STREAMS)
-            g_cap = hbm_k.max_stream_groups(cfg, dtype, n_steps=call_steps)
-            extra = {}
-            if G_need > g_cap:
-                g_rings = hbm_k.max_stream_groups_hbm_rings(
-                    cfg, dtype, n_steps=call_steps
+        try:
+            if n <= res_k.N_STREAMS and weight_bytes < 10e6:
+                out_codes = _chunked_ae_fused(
+                    res_k.generate_tokens_fused, params, encoding, prime,
+                    cfg=cfg, n_steps=n_steps, dtype=dtype,
                 )
-                if g_rings > g_cap:
-                    extra = {"rings_in_hbm": True}
-                    g_cap = g_rings
-            per_call_rows = res_k.N_STREAMS * max(g_cap, 1)
-            parts = []
-            for lo in range(0, n, per_call_rows):
-                rows = prime[lo : lo + per_call_rows]
-                enc = encoding[lo : lo + per_call_rows]
-                # kernel kwargs ride through to jit_fused's static key —
-                # a fresh functools.partial here would defeat its cache
-                # and recompile every request
-                parts.append(
-                    _chunked_ae_fused(
-                        hbm_k.generate_tokens_fused_hbm,
-                        params, enc, rows, cfg=cfg, n_steps=n_steps,
-                        slice_frames=False,  # HBM kernel streams its tables
-                        n_stream_groups=-(-rows.shape[0] // res_k.N_STREAMS),
-                        dtype=dtype, **extra,
+            else:
+                G_need = -(-n // res_k.N_STREAMS)
+                g_cap = hbm_k.max_stream_groups(cfg, dtype, n_steps=call_steps)
+                extra = {}
+                if G_need > g_cap:
+                    g_rings = hbm_k.max_stream_groups_hbm_rings(
+                        cfg, dtype, n_steps=call_steps
                     )
-                )
-            out_codes = jnp.concatenate(parts, axis=0)
+                    if g_rings > g_cap:
+                        extra = {"rings_in_hbm": True}
+                        g_cap = g_rings
+                if g_cap < 1:
+                    raise NotImplementedError(
+                        "no HBM serving group fits VMEM for this config"
+                    )
+                per_call_rows = res_k.N_STREAMS * g_cap
+                parts = []
+                for lo in range(0, n, per_call_rows):
+                    rows = prime[lo : lo + per_call_rows]
+                    enc = encoding[lo : lo + per_call_rows]
+                    # kernel kwargs ride through to jit_fused's static key —
+                    # a fresh functools.partial here would defeat its cache
+                    # and recompile every request
+                    parts.append(
+                        _chunked_ae_fused(
+                            hbm_k.generate_tokens_fused_hbm,
+                            params, enc, rows, cfg=cfg, n_steps=n_steps,
+                            slice_frames=False,  # HBM kernel streams its tables
+                            n_stream_groups=-(-rows.shape[0] // res_k.N_STREAMS),
+                            dtype=dtype, **extra,
+                        )
+                    )
+                out_codes = jnp.concatenate(parts, axis=0)
+        except NotImplementedError:
+            # the fused kernels reject this config (lane/row constraints,
+            # filter width, VMEM) — the batched scan path below serves it
+            out_codes = None
+    if out_codes is None:
+        keys = jax.random.PRNGKey(0)
+        out_codes = ae.generate_tokens(
+            params, encoding, tokens[:, : min(cfg.receptive_field, tokens.shape[1])],
+            keys, cfg=cfg, n_steps=n_steps, sample_mode="argmax",
+        )
 
     audio = np.asarray(mu_law_decode(out_codes[:n], cfg.quantization_channel))
     if out_dir is not None:

@@ -83,7 +83,9 @@ def _chunked_fused(fused, params, rows, *, cfg, n_steps, seed=None,
         dyn = {key: jnp.asarray(v) for key, v in (chunk_kw(done) or {}).items()} \
             if chunk_kw else {}
         if seed is not None:
-            dyn["seed"] = jnp.asarray(seed + 7919 * len(outs), jnp.int32)
+            dyn["seed"] = jnp.asarray(
+                (seed + 7919 * len(outs)) % 2**31, jnp.int32
+            )
         call = jit_fused(fused, cfg=cfg, n_steps=k, **kw)
         codes = call(params, (rows,), dyn)
         outs.append(codes)
@@ -121,6 +123,25 @@ def _fused_decode(params, prime, cfg, n_steps, on_tpu, sample_mode, temperature,
         )
     except NotImplementedError:
         return None
+
+
+def sharded_rows_program(mesh, params, body):
+    """Serving-mesh scaffolding shared by :func:`generate_batch` and
+    generate/serving.DecodeSession: validate a data-only mesh and wrap
+    ``body(params, rows, seed_arr)`` in a jitted ``shard_map`` — rows
+    shard over ``data``, params and the seed replicate (bodies offset
+    their PRNG stream by ``axis_index``)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if int(np.prod([s for a, s in mesh.shape.items() if a != "data"])) != 1:
+        raise ValueError("serving mesh must be data-only (other axes = 1)")
+    pspecs = jax.tree_util.tree_map(lambda _: P(), params)
+    return jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(pspecs, P("data", None), P()),
+        out_specs=P("data", None),
+    ))
 
 
 def plan_fused_serving(cfg, S, dtype, call_steps, n):
@@ -335,24 +356,14 @@ def generate_batch(
     if D > 1:
         # scale out over chips: rows sharded over `data`, params
         # replicated, one kernel instance per device, per-device PRNG
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        if np.prod([s for a, s in mesh.shape.items() if a != "data"]) != 1:
-            raise ValueError("serving mesh must be data-only (other axes = 1)")
         dev_cap = S * g_max if fused is not None else -(-n // D)
         per_call = D * dev_cap
-        pspecs = jax.tree_util.tree_map(lambda _: P(), params)
 
         def body(p, rows, seed_arr):
             idx = jax.lax.axis_index("data")
             return decode_rows(p, rows, seed_arr[0] + idx)
 
-        sharded = shard_map(
-            body, mesh=mesh,
-            in_specs=(pspecs, P("data", None), P()),
-            out_specs=P("data", None),
-        )
+        sharded = sharded_rows_program(mesh, params, body)
         for c, lo in enumerate(range(0, n, per_call)):
             chunk = prime[lo : lo + per_call]
             pad = per_call - chunk.shape[0]
@@ -360,7 +371,7 @@ def generate_batch(
                 chunk = jnp.concatenate(
                     [chunk, jnp.tile(chunk[-1:], (pad, 1))], axis=0
                 )
-            seed_arr = jnp.asarray([seed * 100_003 + c * D], jnp.int32)
+            seed_arr = jnp.asarray([(seed * 100_003 + c * D) % 2**31], jnp.int32)
             codes_parts.append(sharded(params, chunk, seed_arr))
     elif fused is None:
         codes_parts.append(decode_rows(params, prime, seed))
