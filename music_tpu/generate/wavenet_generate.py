@@ -352,10 +352,18 @@ def generate_batch(
         )
 
     D = mesh.shape.get("data", 1) if mesh is not None else 1
+    multiproc = jax.process_count() > 1
     codes_parts = []
     if D > 1:
         # scale out over chips: rows sharded over `data`, params
-        # replicated, one kernel instance per device, per-device PRNG
+        # replicated, one kernel instance per device, per-device PRNG.
+        # Multi-HOST meshes work the same way: each host transfers only
+        # its own prime rows (multihost.put_global_batch) and gets back
+        # its own audio rows — rows beyond this host's shard come back
+        # as zeros (see below).
+        from music_tpu.parallel import multihost
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
         dev_cap = S * g_max if fused is not None else -(-n // D)
         per_call = D * dev_cap
 
@@ -363,16 +371,20 @@ def generate_batch(
             idx = jax.lax.axis_index("data")
             return decode_rows(p, rows, seed_arr[0] + idx)
 
+        if multiproc:
+            params = jax.device_put(params, NamedSharding(mesh, P_()))
         sharded = sharded_rows_program(mesh, params, body)
         for c, lo in enumerate(range(0, n, per_call)):
-            chunk = prime[lo : lo + per_call]
+            chunk = np.asarray(prime[lo : lo + per_call])
             pad = per_call - chunk.shape[0]
             if pad:
-                chunk = jnp.concatenate(
-                    [chunk, jnp.tile(chunk[-1:], (pad, 1))], axis=0
+                chunk = np.concatenate(
+                    [chunk, np.tile(chunk[-1:], (pad, 1))], axis=0
                 )
             seed_arr = jnp.asarray([(seed * 100_003 + c * D) % 2**31], jnp.int32)
-            codes_parts.append(sharded(params, chunk, seed_arr))
+            codes_parts.append(
+                sharded(params, multihost.put_global_batch(mesh, chunk), seed_arr)
+            )
     elif fused is None:
         codes_parts.append(decode_rows(params, prime, seed))
     else:
@@ -382,11 +394,30 @@ def generate_batch(
                 decode_rows(params, prime[lo : lo + per_call], seed + c)
             )
 
-    codes = jnp.concatenate(codes_parts, axis=0)[:n]
+    if multiproc and D > 1:
+        # cross-host outputs are not fully addressable: assemble this
+        # host's rows locally, zero-fill the rest, and remember which
+        # global rows this host actually holds (each per_call chunk is
+        # data-sharded separately, so held rows interleave across chunks)
+        rows_np, held = [], []
+        for pi, part in enumerate(codes_parts):
+            local = np.zeros(part.shape, np.int32)
+            for shard in part.addressable_shards:
+                local[shard.index] = np.asarray(shard.data)
+                held.extend(
+                    pi * per_call + r
+                    for r in range(*shard.index[0].indices(part.shape[0]))
+                )
+            rows_np.append(local)
+        codes = np.concatenate(rows_np, axis=0)[:n]
+        mine = sorted(r for r in set(held) if r < n)
+    else:
+        codes = jnp.concatenate(codes_parts, axis=0)[:n]
+        mine = None
     audio = np.asarray(mu_law_decode(codes, cfg.quantization_channels))
     if out_dir is not None:
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
-        for i in range(n):
+        for i in (range(n) if mine is None else mine):
             wavio.write_wav(out_dir / f"gen_{i:03d}.wav", audio[i], sr)
     return audio

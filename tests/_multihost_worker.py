@@ -75,6 +75,22 @@ def main(pid: int, nproc: int, port: int) -> None:
         ckpt_lib.save(sys.argv[4], 3, {"w": w_sharded}, max_checkpoints=2)
         print("MHCKPT done", flush=True)
 
+    # dp serving across hosts: each host transfers only its own prime
+    # rows and receives only its own audio rows (zeros elsewhere)
+    from music_tpu.generate.wavenet_generate import generate_batch
+
+    primes = np.random.default_rng(7).integers(
+        0, 32, (4, cfg.receptive_field + max(cfg.dilations))
+    ).astype(np.int32)
+    sp = wn.init_params(jax.random.PRNGKey(1), cfg)
+    audio = generate_batch(
+        cfg=cfg, params=sp, n=4, start_pieces=primes,
+        duration=16 / 16000, mesh=mesh, sample_mode="argmax", seed=0,
+    )
+    assert audio.shape == (4, 16), audio.shape
+    print("MHSERVE " + " ".join(f"{audio[i].sum():.8f}" for i in range(4)),
+          flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))

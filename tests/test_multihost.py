@@ -101,6 +101,34 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     np.testing.assert_allclose(losses[0], ref_loss, rtol=1e-5)
     np.testing.assert_allclose(mles[0], ref_mle, rtol=1e-5)
 
+    # dp serving across hosts: each host's held rows must equal the
+    # single-process decode of the same primes (argmax, deterministic);
+    # unheld rows are zero CODES (which µ-law-decode to a constant) —
+    # only the held rows carry real audio
+    from music_tpu.generate.wavenet_generate import generate_batch
+    from music_tpu.models import wavenet as wn
+
+    cfg = wn.WaveNetConfig(
+        filter_width=2, dilations=(1, 2, 4, 8), dilation_channels=4,
+        residual_channels=4, skip_channels=8, quantization_channels=32,
+    )
+    primes = np.random.default_rng(7).integers(
+        0, 32, (4, cfg.receptive_field + max(cfg.dilations))
+    ).astype(np.int32)
+    sp = wn.init_params(jax.random.PRNGKey(1), cfg)
+    ref = generate_batch(
+        cfg=cfg, params=sp, n=4, start_pieces=primes,
+        duration=16 / 16000, sample_mode="argmax", seed=0,
+    )
+    ref_sums = [float(ref[i].sum()) for i in range(4)]
+    for pid, out in enumerate(outs):
+        sl = [ln for ln in out.splitlines() if ln.startswith("MHSERVE ")]
+        assert sl, out
+        sums = [float(x) for x in sl[0].split()[1:]]
+        held = range(0, 2) if pid == 0 else range(2, 4)
+        for i in held:
+            np.testing.assert_allclose(sums[i], ref_sums[i], atol=1e-5)
+
     # the host-sharded checkpoint was gathered and written (process 0 only)
     assert all("MHCKPT done" in out for out in outs)
     from music_tpu.core import checkpoint as ckpt_lib
