@@ -60,7 +60,10 @@ class DecodeSession:
     chips — rows shard over it and every device runs its own kernel
     instance per step (decode has no cross-chip communication);
     per-device PRNG streams from ``axis_index``.  Axes other than
-    ``data`` must have size 1.
+    ``data`` must have size 1.  Single-controller only (one process
+    driving all mesh devices); multi-PROCESS serving goes through
+    :func:`wavenet_generate.generate_batch`, whose per-host row
+    transport is cluster-tested.
     """
 
     def __init__(

@@ -161,6 +161,10 @@ def plan_fused_serving(cfg, S, dtype, call_steps, n):
     from music_tpu.kernels import wavenet_decode, wavenet_decode_hbm
 
     fused, g_max, rings_in_hbm = None, 1, False
+    if cfg.filter_width != 2:
+        # both fused kernels assume filter_width=2 (their wrappers raise
+        # at call time — the plan must route such configs to the scan path)
+        return fused, g_max, rings_in_hbm
     res_g = hbm_g = 0
     try:
         wavenet_decode._grouping(cfg)

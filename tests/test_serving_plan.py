@@ -1,0 +1,54 @@
+"""plan_fused_serving: host-side kernel selection + VMEM group budgets.
+
+Pure arithmetic — seconds-fast coverage of the serving planner's
+decision boundaries that the hardware validations exercise end to end
+(docs/SERVING.md "Kernel selection")."""
+
+import jax.numpy as jnp
+
+from music_tpu.generate.wavenet_generate import plan_fused_serving
+from music_tpu.kernels import wavenet_decode, wavenet_decode_hbm
+from music_tpu.models import wavenet as wn
+
+FULL = wn.WaveNetConfig()  # ~5 MB f32 — resident fits
+SCALED = wn.WaveNetConfig(
+    filter_width=2,
+    dilations=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512) * 4,
+    dilation_channels=64, residual_channels=64, skip_channels=1024,
+    quantization_channels=256, use_bias=False,
+)  # 19 MB — weights alone exceed VMEM
+
+
+def test_full_model_picks_resident():
+    fused, g, rings = plan_fused_serving(FULL, 16, jnp.bfloat16, 16384, 32)
+    assert fused is wavenet_decode.generate_tokens_fused
+    assert g == 2 and not rings  # bf16x16 x G2 = the serving headline
+
+
+def test_full_model_upgrades_to_hbm_rings_for_big_n():
+    fused, g, rings = plan_fused_serving(FULL, 16, jnp.bfloat16, 8192, 128)
+    assert fused is wavenet_decode_hbm.generate_tokens_fused_hbm
+    assert rings and g * 16 >= 128  # the 128-stream concurrency mode
+
+
+def test_scaled_model_skips_resident():
+    fused, g, rings = plan_fused_serving(SCALED, 8, jnp.float32, 2048, 8)
+    assert fused is wavenet_decode_hbm.generate_tokens_fused_hbm
+    assert g >= 1 and not rings
+
+
+def test_output_budget_shrinks_groups():
+    # charging a bigger per-call output tile can only shrink the cap
+    g_small = plan_fused_serving(FULL, 16, jnp.bfloat16, 2048, 32)[1]
+    g_big = plan_fused_serving(FULL, 16, jnp.bfloat16, 16384, 32)[1]
+    assert g_big <= g_small
+
+
+def test_unsupported_config_returns_none():
+    # filter_width != 2 is rejected by every fused kernel's _grouping
+    odd = wn.WaveNetConfig(
+        filter_width=3, dilations=(1, 2) * 40, dilation_channels=32,
+        residual_channels=32, skip_channels=512, quantization_channels=256,
+    )
+    fused, _, _ = plan_fused_serving(odd, 8, jnp.float32, 2048, 8)
+    assert fused is None
