@@ -50,7 +50,8 @@ class DecodeSession:
     raised (the kernel may launch more rows to fill whole groups; the
     VMEM plan may LOWER it — read ``session.capacity`` after
     construction).  With ``mesh``, ``capacity`` is the TOTAL across
-    devices; omitting it defaults to one full kernel group per device.
+    devices; omitting it defaults to one full kernel group per device
+    on the fused path (one sublane tile of rows per device on scan).
     ``steps_per_call``: samples every stream advances per :meth:`step`
     (fixed — a varying step count is a fresh kernel compile).
     ``backend``: "auto" (fused kernels on TPU, batched ``lax.scan``

@@ -208,13 +208,16 @@ def generate_batch(
             int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(params)
         )
         prime = tokens[:, :fused_min]
-        try:
-            if n <= res_k.N_STREAMS and weight_bytes < 10e6:
+        if n <= res_k.N_STREAMS and weight_bytes < 10e6:
+            try:
                 out_codes = _chunked_ae_fused(
                     res_k.generate_tokens_fused, params, encoding, prime,
                     cfg=cfg, n_steps=n_steps, dtype=dtype,
                 )
-            else:
+            except NotImplementedError:
+                out_codes = None  # resident rejects — try HBM below
+        if out_codes is None:
+            try:
                 G_need = -(-n // res_k.N_STREAMS)
                 g_cap = hbm_k.max_stream_groups(cfg, dtype, n_steps=call_steps)
                 extra = {}
@@ -247,10 +250,11 @@ def generate_batch(
                         )
                     )
                 out_codes = jnp.concatenate(parts, axis=0)
-        except NotImplementedError:
-            # the fused kernels reject this config (lane/row constraints,
-            # filter width, VMEM) — the batched scan path below serves it
-            out_codes = None
+            except NotImplementedError:
+                # the HBM kernel also rejects this config (lane/row
+                # constraints, filter width, VMEM) — the batched scan
+                # path below serves it
+                out_codes = None
     if out_codes is None:
         keys = jax.random.PRNGKey(0)
         out_codes = ae.generate_tokens(

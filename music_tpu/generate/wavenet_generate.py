@@ -83,9 +83,11 @@ def _chunked_fused(fused, params, rows, *, cfg, n_steps, seed=None,
         dyn = {key: jnp.asarray(v) for key, v in (chunk_kw(done) or {}).items()} \
             if chunk_kw else {}
         if seed is not None:
-            dyn["seed"] = jnp.asarray(
-                (seed + 7919 * len(outs)) % 2**31, jnp.int32
-            )
+            s_off = seed + 7919 * len(outs)
+            if isinstance(s_off, (int, np.integer)):
+                s_off %= 2**31  # Python ints overflow int32 conversion;
+                # traced seeds are already int32 and wrap natively
+            dyn["seed"] = jnp.asarray(s_off, jnp.int32)
         call = jit_fused(fused, cfg=cfg, n_steps=k, **kw)
         codes = call(params, (rows,), dyn)
         outs.append(codes)
@@ -134,13 +136,20 @@ def sharded_rows_program(mesh, params, body):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    if "data" not in mesh.axis_names:
+        raise ValueError("serving mesh needs a 'data' axis")
     if int(np.prod([s for a, s in mesh.shape.items() if a != "data"])) != 1:
         raise ValueError("serving mesh must be data-only (other axes = 1)")
     pspecs = jax.tree_util.tree_map(lambda _: P(), params)
+    # check_vma=False: decode bodies are pure per-device compute (no
+    # collectives), and jax 0.9's vma checker rejects pallas_call
+    # out_shapes inside shard_map (ShapeDtypeStruct has no vma) — the
+    # fused kernels could not otherwise run under a serving mesh
     return jax.jit(shard_map(
         body, mesh=mesh,
         in_specs=(pspecs, P("data", None), P()),
         out_specs=P("data", None),
+        check_vma=False,
     ))
 
 
@@ -368,7 +377,13 @@ def generate_batch(
         from music_tpu.parallel import multihost
         from jax.sharding import NamedSharding, PartitionSpec as P_
 
-        dev_cap = S * g_max if fused is not None else -(-n // D)
+        if fused is not None:
+            # clamp to what n actually needs (whole S-row groups) — the
+            # rings-upgraded g_max can far exceed the request
+            need_per_dev = -(-n // D)
+            dev_cap = min(S * g_max, -(-need_per_dev // S) * S)
+        else:
+            dev_cap = -(-n // D)
         per_call = D * dev_cap
 
         def body(p, rows, seed_arr):

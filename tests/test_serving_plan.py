@@ -52,3 +52,46 @@ def test_unsupported_config_returns_none():
     )
     fused, _, _ = plan_fused_serving(odd, 8, jnp.float32, 2048, 8)
     assert fused is None
+
+
+def test_chunked_fused_traced_seed_under_mesh():
+    """generate_batch's mesh body passes a TRACED seed into _chunked_fused
+    (seed_arr[0] + axis_index); the per-chunk seed arithmetic must stay
+    trace-safe (a Python `% 2**31` on an int32 tracer raises
+    OverflowError).  Exercised here with the interpret resident kernel
+    inside a 2-device shard_map, chunked, vs the scan reference."""
+    import jax
+    import numpy as np
+
+    from music_tpu.generate.wavenet_generate import (
+        _chunked_fused, sharded_rows_program,
+    )
+    from music_tpu.kernels.wavenet_decode import generate_tokens_fused
+    from music_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    cfg = wn.WaveNetConfig(
+        filter_width=2, dilations=(1, 2, 4, 8, 1, 2, 4, 8),
+        dilation_channels=8, residual_channels=8, skip_channels=16,
+        quantization_channels=32, use_bias=False,
+    )
+    params = wn.init_params(jax.random.PRNGKey(0), cfg)
+    P = cfg.receptive_field + max(cfg.dilations)
+    prime = np.random.default_rng(3).integers(0, 32, (4, P)).astype(np.int32)
+
+    ref = wn.generate_tokens(
+        params, jnp.asarray(prime), jax.random.PRNGKey(0), cfg=cfg,
+        n_steps=64, prime_len=P, sample_mode="argmax",
+    )
+
+    mesh = make_mesh(MeshSpec(data=2), devices=jax.devices()[:2])
+
+    def body(p, rows, seed_arr):
+        seed = seed_arr[0] + jax.lax.axis_index("data")  # int32 tracer
+        return _chunked_fused(
+            generate_tokens_fused, p, rows, cfg=cfg, n_steps=64,
+            step_chunk=32, seed=seed, interpret=True, sample_mode="argmax",
+        )
+
+    sharded = sharded_rows_program(mesh, params, body)
+    got = sharded(params, jnp.asarray(prime), jnp.asarray([7], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
