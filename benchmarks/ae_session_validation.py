@@ -1,0 +1,106 @@
+"""Hardware validation: AEDecodeSession (per-stream utterance clocks).
+
+The AE resident kernel's per-stream ``pos_offset`` vector (the
+AEDecodeSession enabler) is interpret-tested for exactness; this script
+proves it compiles and holds on real hardware: a briefly-trained
+full-size AE serves staggered-join reconstruction streams and each
+stream's session output must agree with its uninterrupted single-call
+decode (same kernel, same hardware — decisive argmax margins make
+agreement exact).
+
+Run: python -m benchmarks.ae_session_validation
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-steps", type=int, default=600)
+    ap.add_argument("--steps-per-call", type=int, default=4096)
+    ap.add_argument("--calls", type=int, default=3)
+    args = ap.parse_args()
+
+    from music_tpu.data.audio import mu_law_encode_np
+    from music_tpu.generate.serving import AEDecodeSession
+    from music_tpu.generate.wavenet_ae_generate import _jit_encode
+    from music_tpu.kernels.wavenet_ae_decode import generate_tokens_fused
+    from music_tpu.models import wavenet_ae as ae
+
+    t0 = time.time()
+    cfg = ae.WaveNetAEConfig()
+    sr = 16000
+    t = np.arange(sr * 6) / sr
+    clips = [0.5 * np.sin(2 * np.pi * f * t) for f in (220.0, 330.0)]
+    codes = [mu_law_encode_np(c, cfg.quantization_channel) for c in clips]
+
+    params = ae.init_params(jax.random.PRNGKey(0), cfg)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+    W = cfg.receptive_field + 2048
+    rng = np.random.default_rng(0)
+
+    @jax.jit
+    def train_step(params, opt, tokens):
+        loss, grads = jax.value_and_grad(ae.loss_fn)(params, tokens, cfg)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    for _ in range(args.train_steps):
+        rows = [codes[rng.integers(2)][s : s + W]
+                for s in rng.integers(0, len(codes[0]) - W, 4)]
+        params, opt, loss = train_step(params, opt, jnp.asarray(np.stack(rows)))
+    print(f"# trained, loss {float(loss):.4f}", file=sys.stderr)
+
+    k = args.steps_per_call
+    sess = AEDecodeSession(cfg, params, capacity=8, steps_per_call=k)
+    got = {0: [], 1: []}
+    t1 = time.time()
+    a = sess.add(codes[0])
+    got[0].append(sess.step()[a])            # compile + first step
+    b = sess.add(codes[1])                   # staggered join
+    for _ in range(args.calls - 1):
+        out = sess.step()
+        got[0].append(out[a])
+        got[1].append(out[b])
+    serve_wall = time.time() - t1
+
+    out = {"metric": "ae_session_validation",
+           "train_loss": round(float(loss), 4),
+           "steps_per_call": k}
+    ok = True
+    for i, sid_calls in ((0, args.calls), (1, args.calls - 1)):
+        toks = jnp.asarray(codes[i], jnp.int32)[None]
+        enc = _jit_encode(cfg)(params, toks)
+        P = cfg.receptive_field + max(cfg.dilations)
+        ref = np.asarray(generate_tokens_fused(
+            params, enc, toks[:, :P], cfg=cfg, n_steps=k * sid_calls,
+        ))[0]
+        mine = np.concatenate(got[i])
+        agree = float((mine == ref).mean())
+        out[f"stream{i}_agreement"] = round(agree, 6)
+        ok = ok and agree == 1.0
+        print(f"# stream {i}: session vs single-call agreement {agree:.6f}",
+              file=sys.stderr)
+    out.update({
+        "all_exact": bool(ok),
+        "serve_wall_s": round(serve_wall, 1),
+        "wall_total_s": round(time.time() - t0, 1),
+        "backend": jax.default_backend(),
+    })
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

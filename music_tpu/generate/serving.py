@@ -281,3 +281,146 @@ class DecodeSession:
         }
         self._next_sid = int(state["next_sid"])
         self._seed = int(state["seed"]) % 2**31
+
+
+class AEDecodeSession:
+    """Continuous batching for autoencoder RECONSTRUCTION streams.
+
+    The conditioned counterpart of :class:`DecodeSession`: every stream
+    carries its own bottleneck encoding and its own utterance clock — the
+    AE resident kernel accepts a per-stream ``pos_offset`` vector, so
+    streams that joined at different times share one launch, and each
+    step slices a fixed-width window of each stream's encoding frames
+    (bounded VMEM conditioning tables, one executable per session).
+
+    Resident-kernel only (the HBM AE kernel's conditioning stream still
+    uses a shared frame clock — docs/STATUS.md round-4 #1 covers lifting
+    that), so ``capacity <= 8`` and the decoder must fit VMEM.  Argmax
+    decode (the AE kernels' sampling mode).  Off TPU the same kernel runs
+    in interpret mode (slow — CI/testing).
+
+    >>> sess = AEDecodeSession(cfg, params)
+    >>> a = sess.add(mu_law_codes_a)        # encode + admit
+    >>> out = sess.step()                   # {a: codes}
+    >>> b = sess.add(mu_law_codes_b)        # joins mid-flight
+    >>> out = sess.step()                   # {a: ..., b: ...}
+    """
+
+    def __init__(
+        self,
+        cfg,
+        params: dict,
+        *,
+        capacity: int | None = None,
+        dtype=jnp.float32,
+        steps_per_call: int = 4096,
+    ):
+        from music_tpu.kernels import wavenet_ae_decode as res_k
+
+        self.cfg, self.params = cfg, params
+        self.dtype = dtype
+        self.steps_per_call = int(steps_per_call)
+        self._S = res_k.N_STREAMS
+        self.capacity = int(capacity) if capacity else self._S
+        if self.capacity > self._S:
+            raise ValueError(
+                f"AEDecodeSession capacity <= {self._S} (resident kernel; "
+                "per-stream clocks are not in the HBM kernel yet)"
+            )
+        self._prime_len = cfg.receptive_field + max(cfg.dilations)
+        self._pool = cfg.en_pool_kernel_size
+        # fixed encoding-frame window covering prime + one step
+        self._Fc = -(-(self._prime_len + self.steps_per_call) // self._pool) + 2
+        self._interpret = jax.default_backend() != "tpu"
+        self._fused = res_k.generate_tokens_fused
+        self._streams: dict[int, dict] = {}
+        self._next_sid = 0
+
+    @property
+    def active(self) -> list[int]:
+        return list(self._streams)
+
+    def add(self, source_codes: np.ndarray) -> int:
+        """Admit a reconstruction stream from its µ-law codes; encodes the
+        bottleneck once.  Codes must cover at least the prime length."""
+        from music_tpu.generate.wavenet_ae_generate import _jit_encode
+
+        codes = np.asarray(source_codes, np.int32)
+        if codes.ndim != 1 or codes.shape[0] < self._prime_len:
+            raise ValueError(
+                f"source must be [>= {self._prime_len}] codes, got {codes.shape}"
+            )
+        if len(self._streams) >= self.capacity:
+            raise RuntimeError(
+                f"session full ({self.capacity} streams); finish() one first"
+            )
+        enc = np.asarray(
+            _jit_encode(self.cfg)(self.params, jnp.asarray(codes)[None])[0]
+        )
+        sid = self._next_sid
+        self._next_sid += 1
+        self._streams[sid] = {
+            "tail": codes[: self._prime_len],
+            "clock": 0,  # absolute utterance time of tail[0]
+            "enc": enc,
+        }
+        return sid
+
+    def finish(self, sid: int) -> None:
+        del self._streams[sid]
+
+    def step(self) -> dict[int, np.ndarray]:
+        """Advance every active stream ``steps_per_call`` samples in one
+        kernel launch; returns ``{sid: [steps_per_call] int32 codes}``."""
+        if not self._streams:
+            return {}
+        from music_tpu.generate.wavenet_generate import jit_fused
+
+        sids = list(self._streams)
+        rows, wins, offs = [], [], []
+        Fc, pool = self._Fc, self._pool
+        for sid in sids:
+            st = self._streams[sid]
+            enc, clock = st["enc"], st["clock"]
+            F_s = enc.shape[0]
+            if F_s >= Fc:
+                f0 = max(0, min(clock // pool, F_s - Fc))
+                win = enc[f0 : f0 + Fc]
+            else:
+                # short utterance: repeat the last frame (matches the
+                # kernel's clamp-to-last-frame semantics)
+                f0 = 0
+                win = np.concatenate(
+                    [enc, np.repeat(enc[-1:], Fc - F_s, axis=0)], axis=0
+                )
+            rows.append(st["tail"])
+            wins.append(win)
+            offs.append(clock - f0 * pool)
+        pad = self.capacity - len(sids)
+        if pad:
+            rows += [rows[-1]] * pad
+            wins += [wins[-1]] * pad
+            offs += [offs[-1]] * pad
+
+        k = self.steps_per_call
+        call = jit_fused(
+            self._fused, cfg=self.cfg, n_steps=k, dtype=self.dtype,
+            interpret=self._interpret,
+        )
+        out = call(
+            self.params,
+            (jnp.asarray(np.stack(wins)), jnp.asarray(np.stack(rows), jnp.int32)),
+            {"pos_offset": jnp.asarray(offs, jnp.int32)},
+        )
+        out = np.asarray(out)
+        result = {}
+        for i, sid in enumerate(sids):
+            st = self._streams[sid]
+            result[sid] = out[i]
+            st["tail"] = np.concatenate([st["tail"], out[i]])[-self._prime_len:]
+            st["clock"] += k
+        return result
+
+    def audio(self, codes: np.ndarray) -> np.ndarray:
+        """µ-law-decode a stream's codes to float audio."""
+        return np.asarray(mu_law_decode(codes, self.cfg.quantization_channel))

@@ -89,13 +89,15 @@ def _build_kernel_weights(params: dict, cfg: WaveNetAEConfig, dtype):
 
 def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
                          cfg: WaveNetAEConfig, row_lanes: int = 128,
-                         pos_offset: int = 0):
+                         pos_offset=0):
     """Parallel prime over the conditioned decoder; extracts ring init tiles
     (slot k of group g <- abs time P - d_g + k) and boot one-hots.
 
     ``pos_offset``: absolute time of ``prime[:, 0]`` — nonzero when a long
     decode is chunked and re-primed from a mid-utterance tail, so the
-    per-frame conditioning stays aligned to the utterance clock."""
+    per-frame conditioning stays aligned to the utterance clock.  A scalar
+    or a per-stream ``[B]`` vector (streams of an AEDecodeSession sit at
+    different utterance clocks)."""
     L, Cr, Q = cfg.n_blocks, cfg.de_residual_channel, cfg.quantization_channel
     Cd = cfg.de_dilation_channel
     D_max = max(cfg.dilations)
@@ -104,6 +106,10 @@ def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
     if P < need:
         raise ValueError(f"prime length {P} < receptive_field + max_dilation = {need}")
     groups, lane_of_layer = _grouping(cfg, row_lanes)
+    B = prime.shape[0]
+    pos_vec = jnp.broadcast_to(
+        jnp.asarray(pos_offset, jnp.int32).reshape(-1), (B,)
+    )
 
     x = token_causal_conv(prime, params["de_causal"])
     streams = [x]
@@ -116,11 +122,13 @@ def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
         # decoder's frame = t // pool semantics
         o = offsets[-1] + d
         frames = jnp.minimum(
-            (jnp.arange(fg.shape[1]) + o + pos_offset) // cfg.en_pool_kernel_size,
+            (jnp.arange(fg.shape[1])[None, :] + o + pos_vec[:, None])
+            // cfg.en_pool_kernel_size,
             encoding.shape[1] - 1,
-        )
-        cond = jnp.take(
-            jnp.einsum("bfw,wc->bfc", encoding, params["cond_fg"][i]), frames, axis=1
+        )  # [B, T] — per-stream utterance clocks
+        proj = jnp.einsum("bfw,wc->bfc", encoding, params["cond_fg"][i])
+        cond = jnp.take_along_axis(
+            proj, frames[:, :, None].astype(jnp.int32), axis=1
         )
         fg = fg + cond
         z = jnp.tanh(fg[..., Cd:]) * jax.nn.sigmoid(fg[..., :Cd])
@@ -149,11 +157,13 @@ def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
     z_all = jnp.concatenate(z_last, axis=-1)  # [S, L*Cd]
     h = jax.nn.relu(z_all @ params["skip"].reshape(-1, Cs))
     frame_last = jnp.minimum(
-        (pos_offset + P - 1) // cfg.en_pool_kernel_size, encoding.shape[1] - 1
-    )
+        (pos_vec + P - 1) // cfg.en_pool_kernel_size, encoding.shape[1] - 1
+    )  # [B]
     cond_post_last = jnp.einsum(
         "bw,wc->bc",
-        jnp.take(encoding, frame_last, axis=1),
+        jnp.take_along_axis(
+            encoding, frame_last[:, None, None].astype(jnp.int32), axis=1
+        )[:, 0],
         params["cond_post"],
     )
     h = jax.nn.relu(h @ params["conn1"] + cond_post_last)
@@ -174,7 +184,7 @@ def generate_tokens_fused(
     n_steps: int,
     interpret: bool = False,
     dtype=jnp.float32,
-    pos_offset: int = 0,
+    pos_offset=0,
 ) -> jax.Array:
     """Conditioned fused decode: ``n_steps`` codes per stream after priming.
 
@@ -182,7 +192,11 @@ def generate_tokens_fused(
     frame alignment is absolute-time: decode position ``pos_offset +
     prime_len + t`` uses frame ``(pos_offset + prime_len + t) // pool``
     (``pos_offset`` > 0 when a chunked long decode re-primes from a
-    mid-utterance tail — generate/wavenet_ae_generate.py).
+    mid-utterance tail — generate/wavenet_ae_generate.py).  ``pos_offset``
+    may also be a per-stream ``[B]`` vector: every stream keeps its OWN
+    utterance clock (AEDecodeSession streams join at different times);
+    the conditioning refresh fires whenever ANY stream crosses a frame
+    boundary and selects each stream's frame independently.
     """
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
@@ -190,16 +204,18 @@ def generate_tokens_fused(
     S = N_STREAMS
     if B > S:
         raise ValueError(f"at most {S} streams, got {B}")
+    pos_vec = jnp.broadcast_to(jnp.asarray(pos_offset, jnp.int32).reshape(-1), (B,))
     if B < S:
         pad = S - B
         prime = jnp.concatenate([prime, jnp.tile(prime[-1:], (pad, 1))], axis=0)
         encoding = jnp.concatenate(
             [encoding, jnp.tile(encoding[-1:], (pad, 1, 1))], axis=0
         )
+        pos_vec = jnp.concatenate([pos_vec, jnp.tile(pos_vec[-1:], (pad,))])
     groups, _ = _grouping(cfg)
 
     ring0, cur0, prev0, s0 = _collect_prime_state(
-        params, prime, encoding, cfg, pos_offset=pos_offset
+        params, prime, encoding, cfg, pos_offset=pos_vec
     )
     w = _build_kernel_weights(params, cfg, dtype)
     # per-frame bias tables: conditioning is per-stream, so the frame axis
@@ -216,10 +232,16 @@ def generate_tokens_fused(
         _ae_kernel_wrapper, cfg=cfg, total=total, F=F, dtype=dtype
     )
 
+    # step-0 frame offsets, twice: an SMEM [S] vector for the cheap
+    # any-stream-crossed refresh predicate, and a lane-replicated
+    # [S, S*F] i32 tile so the per-stream frame math is pure elementwise
+    # vector ops (no sublane/lane broadcasts in the kernel)
+    off0 = pos_vec + P
+    off_lanes = jnp.broadcast_to(off0[:, None], (S, S * F)).astype(jnp.int32)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(((total // 128) * S, 128), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 14
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((d, S, 128), dtype) for d, _ in groups]
@@ -233,7 +255,8 @@ def generate_tokens_fused(
         w["ecur"], w["eprev"], w["fgp"], w["fgc"], w["densew"], w["skipw"],
         w["post1"], w["post2"],
         cond_fg.astype(dtype), cond_post.astype(dtype),
-        jnp.asarray(pos_offset + P, jnp.int32).reshape(1),
+        off_lanes,
+        jnp.asarray(off0, jnp.int32).reshape(S),
     )
     toks = out.reshape(total // 128, S, 128)
     toks = jnp.swapaxes(toks, 0, 1).reshape(S, total)[:, :n_steps]
@@ -248,8 +271,8 @@ def _ae_kernel_wrapper(*refs, cfg, total, F, dtype):
     long decodes do NOT recompile per chunk."""
     (ring_init_ref, cur0_ref, prev0_ref, ecur_ref, eprev_ref, fgp_ref,
      fgc_ref, densew_ref, skipw_ref, post1_ref, post2_ref,
-     condfg_ref, condpost_ref, off_ref, out_ref, *scratch) = refs
-    t0_frame_offset = off_ref[0]
+     condfg_ref, condpost_ref, off_lanes_ref, off_ref, out_ref,
+     *scratch) = refs
 
     L = cfg.n_blocks
     Cr, Cd, Cs, Q = (
@@ -279,7 +302,9 @@ def _ae_kernel_wrapper(*refs, cfg, total, F, dtype):
     stream_base = jax.lax.broadcasted_iota(jnp.int32, (S, S * F), 0) * F
 
     def refresh_cond(t):
-        frame = jnp.minimum((t + t0_frame_offset) // pool, F - 1)
+        # per-stream frames: off_lanes is the [S, S*F] lane-replicated
+        # step-0 clock, so every op stays elementwise on the native tile
+        frame = jnp.minimum((t + off_lanes_ref[:]) // pool, F - 1)
         onehot = (sf_iota == stream_base + frame).astype(dtype)  # [S, S*F]
         cond_fg_cur[:] = jnp.dot(
             onehot, condfg_ref[:], preferred_element_type=jnp.float32
@@ -291,7 +316,14 @@ def _ae_kernel_wrapper(*refs, cfg, total, F, dtype):
     def step(t, carry):
         prev_oh, cur_oh, out_row = carry
 
-        @pl.when((t + t0_frame_offset) % pool == 0)
+        # refresh when ANY stream crosses a frame boundary (streams of a
+        # serving session sit at different utterance clocks); S scalar
+        # reads from SMEM per step
+        crossed = (t + off_ref[0]) % pool == 0
+        for si in range(1, S):
+            crossed = jnp.logical_or(crossed, (t + off_ref[si]) % pool == 0)
+
+        @pl.when(crossed)
         def _():
             refresh_cond(t)
 

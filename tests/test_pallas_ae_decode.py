@@ -63,3 +63,32 @@ def test_ae_chunked_decode_matches_single_call():
             interpret=True,
         )
         np.testing.assert_array_equal(np.asarray(chunked), np.asarray(one))
+
+
+def test_ae_per_stream_pos_offsets():
+    """A vector pos_offset gives every stream its OWN utterance clock: a
+    2-stream call with offsets (0, 96) must match two single-stream calls
+    with the matching scalar offsets — the conditioning refresh fires on
+    any stream's frame boundary and selects frames per stream
+    (AEDecodeSession's enabling kernel feature)."""
+    params = ae.init_params(jax.random.PRNGKey(7), TINY)
+    need = TINY.receptive_field + max(TINY.dilations)
+    rng = np.random.default_rng(8)
+    primes = jnp.asarray(rng.integers(0, 32, (2, need)), jnp.int32)
+    F = 40
+    encs = jnp.asarray(rng.normal(size=(2, F, 12)) * 0.3, jnp.float32)
+    offs = (0, 96)  # stream 1 sits mid-utterance, not frame-aligned to 0
+
+    n_steps = 150
+    together = generate_tokens_fused(
+        params, encs, primes, cfg=TINY, n_steps=n_steps,
+        pos_offset=jnp.asarray(offs, jnp.int32), interpret=True,
+    )
+    for i, off in enumerate(offs):
+        alone = generate_tokens_fused(
+            params, encs[i : i + 1], primes[i : i + 1], cfg=TINY,
+            n_steps=n_steps, pos_offset=off, interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(together[i]), np.asarray(alone[0]), err_msg=f"stream {i}"
+        )

@@ -145,3 +145,53 @@ def test_session_state_roundtrip_continues_exactly():
     with pytest.raises(ValueError, match="stream tail"):
         b.load_state_dict({"streams": {0: np.zeros(3, np.int32)},
                            "next_sid": 1, "seed": 0})
+
+
+def test_ae_session_join_matches_uninterrupted():
+    """AEDecodeSession: reconstruction streams join mid-session at
+    different utterance clocks (per-stream pos_offset vector in the AE
+    resident kernel); each stream's concatenated output must equal its
+    uninterrupted single-call conditioned decode."""
+    from music_tpu.data.audio import mu_law_encode_np
+    from music_tpu.generate.serving import AEDecodeSession
+    from music_tpu.kernels.wavenet_ae_decode import generate_tokens_fused
+    from music_tpu.models import wavenet_ae as wae
+
+    cfg = wae.WaveNetAEConfig(
+        filter_width=2, dilations=(1, 2, 4, 8, 1, 2, 4, 8),
+        en_residual_channel=8, en_dilation_channel=8, de_residual_channel=8,
+        de_dilation_channel=8, de_skip_channel=16, en_bottleneck_width=12,
+        en_pool_kernel_size=8, quantization_channel=32,
+    )
+    params = wae.init_params(jax.random.PRNGKey(0), cfg)
+    P = cfg.receptive_field + max(cfg.dilations)
+    sr_t = np.arange(P + 260) / 16000.0
+    clips = [
+        mu_law_encode_np(0.4 * np.sin(2 * np.pi * f * sr_t * 50), 32)
+        for f in (220.0, 330.0)
+    ]
+
+    sess = AEDecodeSession(cfg, params, capacity=4, steps_per_call=48)
+    got = {0: [], 1: []}
+    a = sess.add(clips[0])
+    got[0].append(sess.step()[a])
+    b = sess.add(clips[1])                       # joins one step later
+    out = sess.step()
+    got[0].append(out[a]); got[1].append(out[b])
+    out = sess.step()
+    got[0].append(out[a]); got[1].append(out[b])
+    sess.finish(a)
+    got[1].append(sess.step()[b])
+
+    from music_tpu.generate.wavenet_ae_generate import _jit_encode
+
+    for i, n_calls in ((0, 3), (1, 3)):
+        codes = jnp.asarray(clips[i], jnp.int32)[None]
+        enc = _jit_encode(cfg)(params, codes)
+        ref = generate_tokens_fused(
+            params, enc, codes[:, :P], cfg=cfg, n_steps=48 * n_calls,
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.concatenate(got[i]), np.asarray(ref[0]), err_msg=f"stream {i}"
+        )
