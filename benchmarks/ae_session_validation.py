@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--steps-per-call", type=int, default=4096)
     ap.add_argument("--calls", type=int, default=3)
     args = ap.parse_args()
+    if args.calls < 2:
+        ap.error("--calls must be >= 2 (stream 1 joins one step late)")
 
     from music_tpu.data.audio import mu_law_encode_np
     from music_tpu.generate.serving import AEDecodeSession

@@ -314,23 +314,33 @@ class AEDecodeSession:
         capacity: int | None = None,
         dtype=jnp.float32,
         steps_per_call: int = 4096,
+        encode_bucket: int | None = 4096,
     ):
+        from music_tpu.generate.wavenet_ae_generate import frame_window_width
         from music_tpu.kernels import wavenet_ae_decode as res_k
 
         self.cfg, self.params = cfg, params
         self.dtype = dtype
         self.steps_per_call = int(steps_per_call)
         self._S = res_k.N_STREAMS
-        self.capacity = int(capacity) if capacity else self._S
-        if self.capacity > self._S:
+        self.capacity = self._S if capacity is None else int(capacity)
+        if not 1 <= self.capacity <= self._S:
             raise ValueError(
-                f"AEDecodeSession capacity <= {self._S} (resident kernel; "
-                "per-stream clocks are not in the HBM kernel yet)"
+                f"AEDecodeSession capacity must be in [1, {self._S}] "
+                "(resident kernel; per-stream clocks are not in the HBM "
+                f"kernel yet), got {self.capacity}"
             )
         self._prime_len = cfg.receptive_field + max(cfg.dilations)
         self._pool = cfg.en_pool_kernel_size
         # fixed encoding-frame window covering prime + one step
-        self._Fc = -(-(self._prime_len + self.steps_per_call) // self._pool) + 2
+        self._Fc = frame_window_width(
+            self._prime_len, self.steps_per_call, self._pool
+        )
+        # admissions pad sources up to a bucket length so the encoder
+        # compiles once per bucket, not once per novel clip length (the
+        # encoder is causal+valid, so appended samples never change the
+        # frames the unpadded clip would produce); None = exact lengths
+        self._encode_bucket = encode_bucket
         self._interpret = jax.default_backend() != "tpu"
         self._fused = res_k.generate_tokens_fused
         self._streams: dict[int, dict] = {}
@@ -354,9 +364,24 @@ class AEDecodeSession:
             raise RuntimeError(
                 f"session full ({self.capacity} streams); finish() one first"
             )
+        enc_codes = codes
+        if self._encode_bucket:
+            b = self._encode_bucket
+            padded = -(-codes.shape[0] // b) * b
+            if padded > codes.shape[0]:
+                enc_codes = np.concatenate(
+                    [codes, np.full(padded - codes.shape[0], codes[-1], np.int32)]
+                )
         enc = np.asarray(
-            _jit_encode(self.cfg)(self.params, jnp.asarray(codes)[None])[0]
+            _jit_encode(self.cfg)(self.params, jnp.asarray(enc_codes)[None])[0]
         )
+        # frames past the true utterance end come from pad codes; drop
+        # them so the kernel's clamp-to-last-frame matches the unpadded
+        # encode (the encoder is causal — earlier frames are unchanged)
+        true_frames = max(
+            1, (codes.shape[0] - 1 - sum(self.cfg.dilations)) // self._pool
+        )
+        enc = enc[: true_frames]
         sid = self._next_sid
         self._next_sid += 1
         self._streams[sid] = {
@@ -376,6 +401,8 @@ class AEDecodeSession:
             return {}
         from music_tpu.generate.wavenet_generate import jit_fused
 
+        from music_tpu.generate.wavenet_ae_generate import frame_window
+
         sids = list(self._streams)
         rows, wins, offs = [], [], []
         Fc, pool = self._Fc, self._pool
@@ -384,7 +411,7 @@ class AEDecodeSession:
             enc, clock = st["enc"], st["clock"]
             F_s = enc.shape[0]
             if F_s >= Fc:
-                f0 = max(0, min(clock // pool, F_s - Fc))
+                f0, _ = frame_window(clock, F_s, Fc, pool)
                 win = enc[f0 : f0 + Fc]
             else:
                 # short utterance: repeat the last frame (matches the
@@ -395,7 +422,7 @@ class AEDecodeSession:
                 )
             rows.append(st["tail"])
             wins.append(win)
-            offs.append(clock - f0 * pool)
+            offs.append(clock - f0 * pool)  # rebased step-0 clock
         pad = self.capacity - len(sids)
         if pad:
             rows += [rows[-1]] * pad

@@ -31,6 +31,20 @@ def _jit_encode(cfg: ae.WaveNetAEConfig):
     return jax.jit(lambda p, t: ae.encode(p, t, cfg))
 
 
+def frame_window_width(prime_len: int, steps: int, pool: int) -> int:
+    """Encoding frames covering a prime + one decode call, plus clamp
+    slack — shared by the chunked decode and AEDecodeSession."""
+    return -(-(prime_len + steps) // pool) + 2
+
+
+def frame_window(clock: int, n_frames: int, width: int, pool: int):
+    """Window start ``f0`` and the rebased step-0 offset for a decode
+    whose prime starts at absolute utterance time ``clock``, given an
+    ``n_frames``-frame table and a fixed ``width``-frame window."""
+    f0 = max(0, min(clock // pool, n_frames - width))
+    return f0, clock - f0 * pool
+
+
 def _sliced_ae_fused(params, encoding, ctx, *, fused, cfg, Fc, n_steps,
                      f0, pos_offset, **kw):
     """Fixed-width (``Fc``) frame slice at traced offset ``f0``, then the
@@ -67,22 +81,21 @@ def _chunked_ae_fused(fused, params, encoding, ctx, *, cfg, n_steps,
     pool = cfg.en_pool_kernel_size
     P = ctx.shape[1]
     F = encoding.shape[1]
-    # frames covering a P-token prime + a full chunk, plus clamp slack
-    Fc = min(F, -(-(P + step_chunk) // pool) + 2)
+    Fc = min(F, frame_window_width(P, step_chunk, pool))
     do_slice = slice_frames and Fc < F
 
     outs, done = [], 0
     while done < n_steps:
         k = min(n_steps - done, step_chunk)
         if do_slice:
-            f0 = max(0, min(done // pool, F - Fc))
+            f0, pos = frame_window(done, F, Fc, pool)
             call = jit_fused(
                 _sliced_ae_fused, fused=fused, cfg=cfg, Fc=Fc, n_steps=k, **kw
             )
             codes = call(
                 params, (encoding, ctx),
                 {"f0": jnp.asarray(f0, jnp.int32),
-                 "pos_offset": jnp.asarray(done - f0 * pool, jnp.int32)},
+                 "pos_offset": jnp.asarray(pos, jnp.int32)},
             )
         else:
             call = jit_fused(fused, cfg=cfg, n_steps=k, **kw)
