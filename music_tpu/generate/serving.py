@@ -97,7 +97,10 @@ class DecodeSession:
 
         S = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
         want_total = int(capacity) if capacity else None
-        want = -(-(want_total or S) // D)  # per-device rows for the plan
+        # per-device rows for the plan; default = one sublane tile PER
+        # DEVICE (the docstring's contract — an explicit capacity is
+        # ceil-divided across devices instead)
+        want = -(-want_total // D) if want_total else S
         on_tpu = jax.default_backend() == "tpu"
         if backend == "auto" and on_tpu:
             fused, g_max, rings = plan_fused_serving(
@@ -205,7 +208,7 @@ class DecodeSession:
         sids = list(self._streams)
         rows = np.stack([self._streams[s] for s in sids])
         pad = self._rows - len(sids)
-        if pad and (self._fused is not None or self._sharded is not None):
+        if pad:  # every backend: occupancy changes must never change shapes
             rows = np.concatenate([rows, np.tile(rows[-1:], (pad, 1))], axis=0)
         rows = jnp.asarray(rows, jnp.int32)
 

@@ -11,6 +11,9 @@ import jax.numpy as jnp
 import torch
 
 from music_tpu.ops.mulaw import mu_law_decode, mu_law_encode, one_hot
+import pytest
+
+pytestmark = pytest.mark.fast  # seconds-fast regression tier (pytest -m fast)
 
 
 def ref_encode(audio: torch.Tensor, q: int = 256) -> torch.Tensor:

@@ -1,9 +1,12 @@
 """Native C++ data path: builds with the in-image toolchain and matches the
 numpy fallback bit-for-bit."""
 
+import pytest
 import numpy as np
 
 from music_tpu import native
+
+pytestmark = pytest.mark.fast  # seconds-fast regression tier (pytest -m fast)
 
 
 def test_native_builds():

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 from music_tpu.generate.wavenet_generate import plan_fused_serving
 from music_tpu.kernels import wavenet_decode, wavenet_decode_hbm
 from music_tpu.models import wavenet as wn
+import pytest
+
+pytestmark = pytest.mark.fast  # seconds-fast regression tier (pytest -m fast)
 
 FULL = wn.WaveNetConfig()  # ~5 MB f32 — resident fits
 SCALED = wn.WaveNetConfig(

@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,6 +11,8 @@ import jax.numpy as jnp
 from music_tpu.core.config import Schema, Field, load_params_dir
 from music_tpu.core.metrics import MetricsLogger
 from music_tpu.utils.visualize import get_loss, plot_loss
+
+pytestmark = pytest.mark.fast  # seconds-fast regression tier (pytest -m fast)
 
 
 def test_loss_log_roundtrip_with_vis(tmp_path):

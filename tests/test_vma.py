@@ -15,6 +15,8 @@ from jax import shard_map
 
 from music_tpu.parallel.vma import varying_zero
 
+pytestmark = pytest.mark.fast  # seconds-fast regression tier (pytest -m fast)
+
 
 def test_varying_zero_values_and_dtypes():
     key = jax.random.PRNGKey(0)
