@@ -291,16 +291,19 @@ class AEDecodeSession:
 
     The conditioned counterpart of :class:`DecodeSession`: every stream
     carries its own bottleneck encoding and its own utterance clock — the
-    AE resident kernel accepts a per-stream ``pos_offset`` vector, so
-    streams that joined at different times share one launch, and each
-    step slices a fixed-width window of each stream's encoding frames
-    (bounded VMEM conditioning tables, one executable per session).
+    AE kernels accept a per-stream ``pos_offset`` vector, so streams that
+    joined at different times share one launch, and each step slices a
+    fixed-width window of each stream's encoding frames (bounded
+    conditioning tables, one executable per session).
 
-    Resident-kernel only (the HBM AE kernel's conditioning stream still
-    uses a shared frame clock — docs/STATUS.md round-4 #1 covers lifting
-    that), so ``capacity <= 8`` and the decoder must fit VMEM.  Argmax
-    decode (the AE kernels' sampling mode).  Off TPU the same kernel runs
-    in interpret mode (slow — CI/testing).
+    Planning mirrors :func:`wavenet_ae_generate.generate_batch`: the
+    resident kernel for <= 8 streams on VMEM-sized decoders, else the
+    HBM-streaming kernel with interleaved 8-stream groups (per-stream
+    frame-row conditioning DMAs; ``rings_in_hbm`` upgrade when the group
+    count exceeds the VMEM-ring cap) — the reference-size AE serves 16+
+    session streams through the same kernel the batch path uses.  Argmax
+    decode (the AE kernels' sampling mode).  Off TPU the planned kernel
+    runs in interpret mode (slow — CI/testing).
 
     >>> sess = AEDecodeSession(cfg, params)
     >>> a = sess.add(mu_law_codes_a)        # encode + admit
@@ -321,18 +324,52 @@ class AEDecodeSession:
     ):
         from music_tpu.generate.wavenet_ae_generate import frame_window_width
         from music_tpu.kernels import wavenet_ae_decode as res_k
+        from music_tpu.kernels import wavenet_ae_decode_hbm as hbm_k
 
         self.cfg, self.params = cfg, params
         self.dtype = dtype
         self.steps_per_call = int(steps_per_call)
         self._S = res_k.N_STREAMS
-        self.capacity = self._S if capacity is None else int(capacity)
-        if not 1 <= self.capacity <= self._S:
-            raise ValueError(
-                f"AEDecodeSession capacity must be in [1, {self._S}] "
-                "(resident kernel; per-stream clocks are not in the HBM "
-                f"kernel yet), got {self.capacity}"
+        want = self._S if capacity is None else int(capacity)
+        if want < 1:
+            raise ValueError(f"capacity must be >= 1, got {want}")
+
+        # plan the kernel (same policy as wavenet_ae_generate.generate_batch)
+        self._extra: dict = {}
+        weight_bytes = sum(
+            int(np.prod(v.shape)) * 4
+            for v in jax.tree_util.tree_leaves(params)
+        )
+        self._fused = None
+        if want <= self._S and weight_bytes < 10e6:
+            try:
+                res_k._grouping(cfg)  # raises when a ring row exceeds 128 lanes
+                self._fused = res_k.generate_tokens_fused
+                self._rows = self._S
+            except NotImplementedError:
+                pass
+        if self._fused is None:
+            G_need = -(-want // self._S)
+            g_cap = hbm_k.max_stream_groups(
+                cfg, dtype, n_steps=self.steps_per_call
             )
+            if G_need > g_cap:
+                g_rings = hbm_k.max_stream_groups_hbm_rings(
+                    cfg, dtype, n_steps=self.steps_per_call
+                )
+                if g_rings > g_cap:
+                    self._extra = {"rings_in_hbm": True}
+                    g_cap = g_rings
+            if g_cap < 1:
+                raise NotImplementedError(
+                    "no AE serving group fits VMEM for this config"
+                )
+            G = min(G_need, g_cap)
+            self._extra["n_stream_groups"] = G
+            self._fused = hbm_k.generate_tokens_fused_hbm
+            self._rows = G * self._S
+        # admission bound: an explicit request is never silently raised
+        self.capacity = min(want, self._rows) if capacity else self._rows
         self._prime_len = cfg.receptive_field + max(cfg.dilations)
         self._pool = cfg.en_pool_kernel_size
         # fixed encoding-frame window covering prime + one step
@@ -345,7 +382,6 @@ class AEDecodeSession:
         # frames the unpadded clip would produce); None = exact lengths
         self._encode_bucket = encode_bucket
         self._interpret = jax.default_backend() != "tpu"
-        self._fused = res_k.generate_tokens_fused
         self._streams: dict[int, dict] = {}
         self._next_sid = 0
 
@@ -426,7 +462,7 @@ class AEDecodeSession:
             rows.append(st["tail"])
             wins.append(win)
             offs.append(clock - f0 * pool)  # rebased step-0 clock
-        pad = self.capacity - len(sids)
+        pad = self._rows - len(sids)
         if pad:
             rows += [rows[-1]] * pad
             wins += [wins[-1]] * pad
@@ -435,7 +471,7 @@ class AEDecodeSession:
         k = self.steps_per_call
         call = jit_fused(
             self._fused, cfg=self.cfg, n_steps=k, dtype=self.dtype,
-            interpret=self._interpret,
+            interpret=self._interpret, **self._extra,
         )
         out = call(
             self.params,

@@ -124,8 +124,10 @@ def _ae_kernel_hbm(
     post_hbm,        # [Cs, Cs + Q]
     condfg_hbm,      # [F, G*S, L*2Cd]
     condpost_hbm,    # [F, G*S, Cs]
-    off_ref,         # SMEM [1] i32 — absolute time of step 0 (pos_offset + P);
-    #                  dynamic so chunked long decodes don't recompile
+    off_ref,         # SMEM i32 — absolute time of step 0 (pos_offset + P);
+    #                  dynamic so chunked long decodes don't recompile.
+    #                  [1] shared clock, or [G*S] per-stream clocks
+    #                  (AEDecodeSession streams join at different times)
     out_ref,         # [(T//128)*G*S, 128] i32
     *rest,           # (+ ring_state ANY output when hbm rings) + scratch
     cfg: WaveNetAEConfig,
@@ -134,6 +136,7 @@ def _ae_kernel_hbm(
     n_stream_groups: int,
     dtype,
     hbm_ring_min_dilation: int = 0,
+    per_stream_pos: bool = False,
 ):
     hbm_rings = hbm_ring_min_dilation > 0
     if hbm_rings:
@@ -192,6 +195,8 @@ def _ae_kernel_hbm(
             post_hbm.at[:, pl.ds(j * PB, PB)], post_buf.at[slot], post_sem.at[slot]
         )
 
+    S_total = G * S
+
     def refresh_cond(t):
         # contiguous-row DMA of the current frame's bias rows (layout
         # [F, S, C]); a stall here costs once per `pool` steps
@@ -206,6 +211,40 @@ def _ae_kernel_hbm(
         post_dma_c.start()
         fg_dma.wait()
         post_dma_c.wait()
+
+    def stream_cond_dmas(t, s):
+        # per-stream frame-row DMAs: stream s's OWN utterance clock picks
+        # its frame; the [1, C] slice keeps the copy 2-D with a whole
+        # (lane-aligned) minor dim
+        frame = jnp.minimum((t + off_ref[s]) // pool, F - 1)
+        fg = pltpu.make_async_copy(
+            condfg_hbm.at[frame, pl.ds(s, 1)],
+            cond_fg_cur.at[pl.ds(s, 1)],
+            cond_sem.at[0, s],
+        )
+        po = pltpu.make_async_copy(
+            condpost_hbm.at[frame, pl.ds(s, 1)],
+            cond_post_cur.at[pl.ds(s, 1)],
+            cond_sem.at[1, s],
+        )
+        return fg, po
+
+    def refresh_streams(t, preds=None):
+        # start every crossed stream's pair first, then wait — the row
+        # DMAs overlap; a refresh costs each stream once per `pool` steps.
+        # ``preds=None`` refreshes every stream (boot).
+        for s in range(S_total):
+            def start(s=s):
+                fg, po = stream_cond_dmas(t, s)
+                fg.start()
+                po.start()
+            pl.when(preds[s])(start) if preds is not None else start()
+        for s in range(S_total):
+            def wait(s=s):
+                fg, po = stream_cond_dmas(t, s)
+                fg.wait()
+                po.wait()
+            pl.when(preds[s])(wait) if preds is not None else wait()
 
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (S, Q), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
@@ -249,14 +288,23 @@ def _ae_kernel_hbm(
     for i0 in range(min(NB - 1, L)):
         gate_dma(i0 % NB, i0).start()
         proj_dma(i0 % NB, i0).start()
-    refresh_cond(0)
+    if per_stream_pos:
+        refresh_streams(0)
+    else:
+        refresh_cond(0)
 
     def step(t, carry):
         prev_oh, cur_oh, out_row = carry  # tuples of G per-group arrays
 
-        @pl.when(jnp.logical_and(t > 0, (t + t0_frame_offset) % pool == 0))
-        def _():
-            refresh_cond(t)
+        if per_stream_pos:
+            refresh_streams(t, [
+                jnp.logical_and(t > 0, (t + off_ref[s]) % pool == 0)
+                for s in range(S_total)
+            ])
+        else:
+            @pl.when(jnp.logical_and(t > 0, (t + t0_frame_offset) % pool == 0))
+            def _():
+                refresh_cond(t)
 
         x = [
             (
@@ -447,7 +495,7 @@ def generate_tokens_fused_hbm(
     dtype=jnp.float32,
     rings_in_hbm: bool = False,
     hbm_ring_min_dilation: int = 32,
-    pos_offset: int = 0,
+    pos_offset=0,
 ) -> jax.Array:
     """Conditioned decode with HBM-resident weights + conditioning tables —
     same contract as :func:`kernels.wavenet_ae_decode.generate_tokens_fused`
@@ -458,7 +506,14 @@ def generate_tokens_fused_hbm(
     kernels/wavenet_decode_hbm.py).  ``rings_in_hbm=True`` additionally
     moves the large-dilation ring slots to HBM state with one-step-ahead
     tap prefetch — the serving-group cap stops being VMEM-ring-bound
-    (same scheme and exactness guarantees as the WaveNet HBM kernel)."""
+    (same scheme and exactness guarantees as the WaveNet HBM kernel).
+
+    ``pos_offset`` may be a per-stream ``[B]`` vector — every stream keeps
+    its OWN utterance clock (AEDecodeSession streams join at different
+    times): the conditioning refresh becomes per-stream frame-ROW DMAs,
+    fired for exactly the streams that cross a frame boundary at each
+    step.  Scalar callers compile the shared-clock program unchanged (one
+    contiguous block DMA per refresh)."""
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
     if rings_in_hbm and hbm_ring_min_dilation < 3 and not interpret:
@@ -476,12 +531,16 @@ def generate_tokens_fused_hbm(
     S_total = G * S
     if B > S_total:
         raise ValueError(f"at most {S_total} streams, got {B}")
+    pos_arr = jnp.asarray(pos_offset, jnp.int32)
+    per_stream_pos = pos_arr.ndim > 0  # static at trace time
+    pos_vec = jnp.broadcast_to(pos_arr.reshape(-1), (B,))
     if B < S_total:
         pad = S_total - B
         prime = jnp.concatenate([prime, jnp.tile(prime[-1:], (pad, 1))], axis=0)
         encoding = jnp.concatenate(
             [encoding, jnp.tile(encoding[-1:], (pad, 1, 1))], axis=0
         )
+        pos_vec = jnp.concatenate([pos_vec, jnp.tile(pos_vec[-1:], (pad,))])
     W = _row_lanes(cfg)
     PB = _post_block(cfg)
     Cd = cfg.de_dilation_channel
@@ -499,7 +558,8 @@ def generate_tokens_fused_hbm(
     groups, _ = _grouping(cfg, W)
 
     ring0, cur0, prev0, s0 = _collect_prime_state(
-        params, prime, encoding, cfg, W, pos_offset=pos_offset
+        params, prime, encoding, cfg, W,
+        pos_offset=pos_vec if per_stream_pos else pos_offset,
     )
     if G > 1:
         # repack [tiles, G*S, W] -> [G*tiles, S, W]: group sg's tiles first
@@ -523,6 +583,7 @@ def generate_tokens_fused_hbm(
     kernel = functools.partial(
         _ae_kernel_hbm, cfg=cfg, total=total, F=F,
         n_stream_groups=G, dtype=dtype, hbm_ring_min_dilation=hbm_min_d,
+        per_stream_pos=per_stream_pos,
     )
     Cr, Cs, Q = cfg.de_residual_channel, cfg.de_skip_channel, cfg.quantization_channel
 
@@ -566,7 +627,8 @@ def generate_tokens_fused_hbm(
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            # cond_sem: one per (table, stream) when per-stream clocks
+            pltpu.SemaphoreType.DMA((2, S_total) if per_stream_pos else (2,)),
         ]
         + ring_sem_shapes,
         interpret=interpret,
@@ -574,7 +636,8 @@ def generate_tokens_fused_hbm(
         cur0.astype(dtype), prev0.astype(dtype), w["ecur"], w["eprev"],
         ring0.astype(dtype), w["gate"], w["proj"], w["post"],
         cond_fg.astype(dtype), cond_post.astype(dtype),
-        jnp.asarray(pos_offset + P, jnp.int32).reshape(1),
+        (pos_vec + P) if per_stream_pos
+        else jnp.asarray(pos_offset + P, jnp.int32).reshape(1),
     )
     if hbm_min_d:
         out = out[0]

@@ -139,3 +139,38 @@ def test_ae_hbm_rings_min_dilation_hardware_guard():
             params, encoding, prime, cfg=TINY, n_steps=64,
             rings_in_hbm=True, hbm_ring_min_dilation=2,
         )
+
+
+def test_ae_hbm_per_stream_pos_offsets():
+    """A vector pos_offset gives every stream its OWN utterance clock on
+    the HBM kernel too (per-stream frame-row DMAs): a multi-group call
+    with staggered offsets must match per-stream shared-clock calls —
+    the capability that lets AEDecodeSession plan onto the HBM kernel
+    past the resident kernel's 8 streams (VERDICT r3 #2)."""
+    params = ae.init_params(jax.random.PRNGKey(20), TINY)
+    need = TINY.receptive_field + max(TINY.dilations)
+    rng = np.random.default_rng(21)
+    n = 9  # 2 groups of 8, last group ragged
+    primes = jnp.asarray(rng.integers(0, 32, (n, need)), jnp.int32)
+    F = 40
+    encs = jnp.asarray(rng.normal(size=(n, F, 12)) * 0.3, jnp.float32)
+    offs = tuple(int(v) for v in rng.integers(0, 8, n) * 16 + rng.integers(0, 3, n))
+
+    n_steps = 120
+    for extra in (
+        {"n_stream_groups": 2},
+        {"n_stream_groups": 2, "rings_in_hbm": True, "hbm_ring_min_dilation": 2},
+    ):
+        together = generate_tokens_fused_hbm(
+            params, encs, primes, cfg=TINY, n_steps=n_steps,
+            pos_offset=jnp.asarray(offs, jnp.int32), interpret=True, **extra,
+        )
+        for i in (0, 3, 7, 8):
+            alone = generate_tokens_fused_hbm(
+                params, encs[i : i + 1], primes[i : i + 1], cfg=TINY,
+                n_steps=n_steps, pos_offset=offs[i], interpret=True,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(together[i]), np.asarray(alone[0]),
+                err_msg=f"stream {i} extra={extra}",
+            )

@@ -227,3 +227,62 @@ def test_session_scan_shapes_stable_across_churn(monkeypatch):
     sess.step()
     assert len(set(shapes)) == 1, f"shape churn: {shapes}"
     assert shapes[0][0] == sess._rows
+
+
+def test_ae_session_plans_hbm_kernel_past_8_streams():
+    """capacity > 8 (or an over-VMEM decoder) plans the session onto the
+    HBM-streaming kernel with per-stream frame clocks (VERDICT r3 #2):
+    10 staggered-join streams through a G=2 HBM-kernel session must equal
+    each stream's uninterrupted single-call decode."""
+    from music_tpu.generate.serving import AEDecodeSession
+    from music_tpu.data.audio import mu_law_encode_np
+    from music_tpu.kernels.wavenet_ae_decode_hbm import (
+        generate_tokens_fused_hbm,
+    )
+    from music_tpu.models import wavenet_ae as wae
+
+    cfg = wae.WaveNetAEConfig(
+        filter_width=2, dilations=(1, 2, 4, 8, 1, 2, 4, 8),
+        en_residual_channel=8, en_dilation_channel=8, de_residual_channel=8,
+        de_dilation_channel=8, de_skip_channel=16, en_bottleneck_width=12,
+        en_pool_kernel_size=8, quantization_channel=32,
+    )
+    params = wae.init_params(jax.random.PRNGKey(30), cfg)
+    P = cfg.receptive_field + max(cfg.dilations)
+    t_axis = np.arange(P + 200) / 16000.0
+    clips = [
+        mu_law_encode_np(0.4 * np.sin(2 * np.pi * (180.0 + 25.0 * i) * t_axis * 50), 32)
+        for i in range(10)
+    ]
+
+    sess = AEDecodeSession(cfg, params, capacity=12, steps_per_call=32)
+    assert sess._fused is generate_tokens_fused_hbm
+    assert sess._extra.get("n_stream_groups") == 2
+    assert sess.capacity == 12
+
+    # stagger joins: 6 up front, 4 more after the first step
+    got = {i: [] for i in range(10)}
+    sids = {i: sess.add(clips[i]) for i in range(6)}
+    out = sess.step()
+    for i in range(6):
+        got[i].append(out[sids[i]])
+    for i in range(6, 10):
+        sids[i] = sess.add(clips[i])
+    for _ in range(2):
+        out = sess.step()
+        for i in range(10):
+            got[i].append(out[sids[i]])
+
+    from music_tpu.generate.wavenet_ae_generate import _jit_encode
+
+    n_calls = {i: 3 if i < 6 else 2 for i in range(10)}
+    for i in (0, 5, 6, 9):
+        codes = jnp.asarray(clips[i], jnp.int32)[None]
+        enc = _jit_encode(cfg)(params, codes)
+        ref = generate_tokens_fused_hbm(
+            params, enc, codes[:, :P], cfg=cfg, n_steps=32 * n_calls[i],
+            interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.concatenate(got[i]), np.asarray(ref[0]), err_msg=f"stream {i}"
+        )
