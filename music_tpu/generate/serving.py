@@ -61,10 +61,19 @@ class DecodeSession:
     chips — rows shard over it and every device runs its own kernel
     instance per step (decode has no cross-chip communication);
     per-device PRNG streams from ``axis_index``.  Axes other than
-    ``data`` must have size 1.  Single-controller only (one process
-    driving all mesh devices); multi-PROCESS serving goes through
-    :func:`wavenet_generate.generate_batch`, whose per-host row
-    transport is cluster-tested.
+    ``data`` must have size 1.
+
+    Multi-process: when the mesh spans processes (``jax.process_count()
+    > 1``), the global row space is PARTITIONED BY HOST — each process
+    admits streams into its own row block (``capacity`` then reports the
+    per-host admission bound), packs only its local rows each step
+    (``jax.make_array_from_process_local_data``, the same transport
+    :func:`wavenet_generate.generate_batch` cluster-tests), and reads
+    back only its own rows from the sharded output.  The step program is
+    SPMD: EVERY process must call :meth:`step` in lockstep (a host with
+    no active streams still launches — its rows decode silence padding
+    and it returns ``{}``); admission stays host-local and never needs
+    cross-host coordination.
     """
 
     def __init__(
@@ -134,6 +143,22 @@ class DecodeSession:
         self.capacity = (
             min(want_total, self._rows) if want_total else self._rows
         )
+        self._nproc = jax.process_count() if mesh is not None else 1
+        if self._nproc > 1:
+            if self._rows % self._nproc:
+                raise ValueError(
+                    f"{self._rows} kernel rows not divisible by "
+                    f"{self._nproc} processes"
+                )
+            self._host_rows = self._rows // self._nproc
+            # per-host admission bound (the global row space is
+            # partitioned by host; see the class docstring)
+            self.capacity = min(
+                self._host_rows,
+                -(-self.capacity // self._nproc),
+            )
+        else:
+            self._host_rows = self._rows
         self._fused = fused
         self._streams: dict[int, np.ndarray] = {}
         self._next_sid = 0
@@ -203,17 +228,44 @@ class DecodeSession:
     def step(self) -> dict[int, np.ndarray]:
         """Advance every active stream ``steps_per_call`` samples in one
         kernel launch; returns ``{sid: [steps_per_call] int32 codes}``."""
-        if not self._streams:
+        multiproc = self._nproc > 1
+        if not self._streams and not multiproc:
             return {}
         sids = list(self._streams)
-        rows = np.stack([self._streams[s] for s in sids])
-        pad = self._rows - len(sids)
-        if pad:  # every backend: occupancy changes must never change shapes
-            rows = np.concatenate([rows, np.tile(rows[-1:], (pad, 1))], axis=0)
-        rows = jnp.asarray(rows, jnp.int32)
+        n_local = self._host_rows if multiproc else self._rows
+        if sids:
+            rows = np.stack([self._streams[s] for s in sids])
+            pad = n_local - len(sids)
+            if pad:  # every backend: occupancy must never change shapes
+                rows = np.concatenate(
+                    [rows, np.tile(rows[-1:], (pad, 1))], axis=0
+                )
+        else:
+            # SPMD lockstep: an empty host still launches (silence rows)
+            rows = np.full(
+                (n_local, self._prime_len),
+                self.cfg.quantization_channels // 2, np.int32,
+            )
+        rows = np.asarray(rows, np.int32)
 
         k = self.steps_per_call
-        if self._sharded is not None:
+        if multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self._mesh, P("data", None))
+            rows_g = jax.make_array_from_process_local_data(
+                sharding, rows, global_shape=(self._rows, rows.shape[1])
+            )
+            out_g = self._sharded(
+                self.params, rows_g, jnp.asarray([self._seed], jnp.int32)
+            )
+            # this host's rows back out of the sharded result, in row order
+            shards = sorted(
+                out_g.addressable_shards, key=lambda s: s.index[0].start or 0
+            )
+            out = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        elif self._sharded is not None:
+            rows = jnp.asarray(rows)
             out = self._sharded(
                 self.params, rows, jnp.asarray([self._seed], jnp.int32)
             )

@@ -91,6 +91,42 @@ def main(pid: int, nproc: int, port: int) -> None:
     print("MHSERVE " + " ".join(f"{audio[i].sum():.8f}" for i in range(4)),
           flush=True)
 
+    # multi-process DecodeSession: per-host admission into host-owned row
+    # blocks; every host steps in lockstep (host 1's second stream joins a
+    # call later, and host 0 finishes a stream mid-session)
+    from music_tpu.generate.serving import DecodeSession
+
+    sess_primes = np.random.default_rng(11).integers(
+        0, 32, (4, cfg.receptive_field + max(cfg.dilations))
+    ).astype(np.int32)
+    sess = DecodeSession(
+        cfg, sp, capacity=4, dtype=jax.numpy.float32, sample_mode="argmax",
+        steps_per_call=16, backend="scan", mesh=mesh,
+    )
+    assert sess.capacity == 2, sess.capacity  # per-host admission bound
+    mine = {}
+    a = sess.add(sess_primes[2 * pid])
+    out = sess.step()
+    mine[2 * pid] = [out[a]]
+    b = sess.add(sess_primes[2 * pid + 1]) if pid == 0 else None
+    out = sess.step()
+    mine[2 * pid].append(out[a])
+    if pid == 0:
+        mine[1] = [out[b]]
+    else:
+        b = sess.add(sess_primes[2 * pid + 1])
+        sess.finish(a)
+    out = sess.step()
+    if pid == 0:
+        mine[0].append(out[a])
+        mine[1].append(out[b])
+    else:
+        mine[3] = [out[b]]
+    for i, chunks in sorted(mine.items()):
+        toks = np.concatenate(chunks)
+        print(f"MHSESSION {i} " + ",".join(str(int(t)) for t in toks),
+              flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
