@@ -56,6 +56,14 @@ def main():
     ap.add_argument("--adv", type=int, default=800)
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--ckpt-every", type=int, default=100)
+    ap.add_argument("--interleave", type=int, default=0,
+                    help="teacher-forcing epochs interleaved after each "
+                         "adversarial G update (the LeakGAN paper's "
+                         "stabilizer; 0 = the reference's plain alternation)")
+    ap.add_argument("--early-stop", type=int, default=0,
+                    help="stop the adversarial phase after this many "
+                         "consecutive evals without an eval-NLL "
+                         "improvement (0 = run the full horizon)")
     ap.add_argument("--smoke", action="store_true",
                     help="2/2/4 epochs on 256 rows — wiring check")
     ap.add_argument("--cpu", action="store_true",
@@ -134,10 +142,16 @@ def main():
 
     # ---- adversarial (800 epochs, 5x3 D retraining each) ---------------
     best = {"eval_nll": float("inf"), "epoch": -1}
+    stale_evals = 0
+    stopped_early = None
     for ep in range(start_adv + 1, args.adv + 1):
-        ml, wl, dl = tr.adversarial_epoch(train, d_steps=5, d_epochs=3)
+        ml, wl, dl = tr.adversarial_epoch(
+            train, d_steps=5, d_epochs=3,
+            interleave_supervision=args.interleave,
+        )
         if ep % args.eval_every == 0 or ep == 1:
             nll = tr.eval_nll(evals)
+            stale_evals = 0 if nll < best["eval_nll"] else stale_evals + 1
             traj["adv"].append(
                 {"epoch": ep, "m_loss": round(ml, 4), "w_loss": round(wl, 4),
                  "d_loss": round(dl, 4), "eval_nll": round(nll, 4)})
@@ -155,6 +169,12 @@ def main():
             tr.save(ckpt_dir, step=ep)
             (out_dir / "trajectory.json").write_text(json.dumps(traj))
             resume.write_text(json.dumps({"adv_done": ep}))
+        if args.early_stop and stale_evals >= args.early_stop:
+            stopped_early = ep
+            log({"phase": "early_stop", "epoch": ep,
+                 "stale_evals": stale_evals,
+                 "best_eval_nll": best["eval_nll"]})
+            break
 
     write_poems("poems_final")
     (out_dir / "trajectory.json").write_text(json.dumps(traj))
@@ -170,6 +190,9 @@ def main():
         "best_adv_epoch": best["epoch"],
         "final_eval_nll": traj["adv"][-1]["eval_nll"] if traj["adv"] else None,
         "schedule": f"{args.pre_g}/{args.pre_d}/{args.adv}",
+        "interleave_supervision": args.interleave,
+        "early_stop": args.early_stop,
+        "stopped_early_at": stopped_early,
         "wall_s": round(time.time() - t0, 1),
         "backend": jax.default_backend(),
     }

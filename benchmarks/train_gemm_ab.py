@@ -49,7 +49,8 @@ SCALED = wn.WaveNetConfig(
 )
 
 
-def loss_fn(params, tokens, cfg, wl, *, tapfuse, dsfuse, dtype=jnp.bfloat16):
+def loss_fn(params, tokens, cfg, wl, *, tapfuse, dsfuse, stack=False,
+            dtype=jnp.bfloat16):
     """Teacher-forced NLL over the window tail — the train-step hot math
     (mirrors train/wavenet_train._sharded_loss, single-shard form)."""
     inputs, targets = tokens[:, :-1], tokens[:, cfg.receptive_field:]
@@ -57,6 +58,7 @@ def loss_fn(params, tokens, cfg, wl, *, tapfuse, dsfuse, dtype=jnp.bfloat16):
     x = token_causal_conv(inputs, p["causal"])
     Cd = cfg.dilation_channels
     skip_total = None
+    zs = []
     for i, d in enumerate(cfg.dilations):
         w = p["fg"][i]  # [2, Cr, 2Cd]
         out_t = x.shape[1] - d
@@ -74,11 +76,23 @@ def loss_fn(params, tokens, cfg, wl, *, tapfuse, dsfuse, dtype=jnp.bfloat16):
             ds = conv1x1(z, wds)
             dense, skip = ds[..., : cfg.residual_channels], ds[..., cfg.residual_channels:]
             skip = skip[:, -wl:, :]
+        elif stack:
+            dense = conv1x1(z, p["dense"][i])
+            zs.append(z[:, -wl:, :])
+            skip = None
         else:
             dense = conv1x1(z, p["dense"][i])
             skip = conv1x1(z[:, -wl:, :], p["skip"][i])
         x = dense + x[:, -dense.shape[1]:, :]
-        skip_total = skip if skip_total is None else skip_total + skip
+        if skip is not None:
+            skip_total = skip if skip_total is None else skip_total + skip
+    if stack:
+        # ONE [B*T, L*Cd] x [L*Cd, Cs] skip GEMM (full MXU contraction
+        # depth, no per-layer [B*T, Cs] accumulator traffic) — the round-4
+        # roofline's predicted lever (train/wavenet_train stack_skips)
+        L = len(cfg.dilations)
+        z_all = jnp.concatenate(zs, axis=-1)
+        skip_total = conv1x1(z_all, p["skip"].reshape(L * Cd, -1))
     h = jax.nn.relu(skip_total)
     h = jax.nn.relu(conv1x1(h, p["post1"]))
     logits = conv1x1(h, p["post2"])
@@ -99,7 +113,8 @@ def fwd_matmul_flops(cfg, B, wl):
     return float(f)
 
 
-def bench_variant(cfg, B, wl, tapfuse, dsfuse, n_fused=8, n_iters=5, seed0=0):
+def bench_variant(cfg, B, wl, tapfuse, dsfuse, stack=False, n_fused=8,
+                  n_iters=5, seed0=0):
     params = wn.init_params(jax.random.PRNGKey(0), cfg)
     tx = optax.adam(1e-4)
     opt = tx.init(params)
@@ -107,7 +122,8 @@ def bench_variant(cfg, B, wl, tapfuse, dsfuse, n_fused=8, n_iters=5, seed0=0):
     def one_step(carry, tokens):
         params, opt = carry
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, tokens, cfg, wl, tapfuse=tapfuse, dsfuse=dsfuse
+            params, tokens, cfg, wl, tapfuse=tapfuse, dsfuse=dsfuse,
+            stack=stack,
         )
         updates, opt = tx.update(grads, opt)
         return (optax.apply_updates(params, updates), opt), loss
@@ -138,7 +154,7 @@ def bench_variant(cfg, B, wl, tapfuse, dsfuse, n_fused=8, n_iters=5, seed0=0):
     dt = float(np.median(times))
     flops = 3.0 * fwd_matmul_flops(cfg, B, wl)  # fwd + ~2x bwd
     return {
-        "variant": f"tapfuse={int(tapfuse)},dsfuse={int(dsfuse)}",
+        "variant": f"tapfuse={int(tapfuse)},dsfuse={int(dsfuse)},stack={int(stack)}",
         "step_ms": round(dt * 1e3, 2),
         "samples_per_sec": round(B * wl / dt, 1),
         "tflops": round(flops / dt / 1e12, 1),
@@ -156,8 +172,11 @@ def main():
     models = [("full", FULL)] if args.quick else [("full", FULL), ("scaled", SCALED)]
     for name, cfg in models:
         rows = []
-        for tapfuse, dsfuse in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+        for tapfuse, dsfuse, stack in [
+            (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0), (1, 0, 1),
+        ]:
             r = bench_variant(cfg, B, wl, bool(tapfuse), bool(dsfuse),
+                              stack=bool(stack),
                               n_iters=3 if args.quick else 5)
             rows.append(r)
             print(f"# {name} {r}", file=sys.stderr)

@@ -480,13 +480,25 @@ class LeakGanTrainer:
         )
         return float(loss)
 
-    def adversarial_epoch(self, real_data: np.ndarray, d_steps: int = 5, d_epochs: int = 3):
+    def adversarial_epoch(self, real_data: np.ndarray, d_steps: int = 5,
+                          d_epochs: int = 3,
+                          interleave_supervision: int = 0):
         """One adversarial round (leak_gan/train.py:210-320): G update with
-        rollout rewards, then D retraining on fresh negatives."""
+        rollout rewards, then D retraining on fresh negatives.
+
+        ``interleave_supervision``: opt-in teacher-forcing epochs run right
+        after the adversarial G update (the LeakGAN paper's alternation of
+        adversarial and supervised epochs; the reference's plain-alternation
+        protocol — leak_gan/train.py:210-320 — has no stabilizer and
+        mode-collapses on the real corpus, docs/DIVERGENCES.md #19).  D then
+        retrains against the supervised-updated G.  Returns the adversarial
+        manager/worker losses (supervision progress shows up in eval NLL)."""
         self.g_params, self.m_opt, self.w_opt, ml, wl = self._adv_step(
             self.g_params, self.d_params, self.m_opt, self.w_opt,
             self.keys.next(), self.keys.next(),
         )
+        if interleave_supervision:
+            self.pretrain_generator(real_data, epochs=interleave_supervision)
         d_loss = 0.0
         for _ in range(d_steps):
             d_loss = self.pretrain_discriminator(real_data, epochs=d_epochs)

@@ -74,7 +74,7 @@ def param_specs(cfg: WaveNetConfig, tp: bool) -> dict:
 
 
 def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: int,
-                  compute_dtype=None):
+                  compute_dtype=None, stack_skips: bool = False):
     """Local (per-shard) loss inside shard_map.
 
     ``tokens``: [B_local, RF + WL] — batch sharded over ``data``, replicated
@@ -99,6 +99,7 @@ def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: in
     x = token_causal_conv(inputs, params["causal"], params.get("causal_b") if use_bias else None)
     out_width = wl_local
     skip_total = None
+    zs = []  # stack_skips: gated activations collected for one wide GEMM
     for i, d in enumerate(cfg.dilations):
         # fuse_taps: one [B·T, 2Cr]x[2Cr, 2Cd] GEMM per layer — the train
         # step is lane-width-bound and the doubled contraction depth is
@@ -112,12 +113,30 @@ def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: in
         )
         dense = conv1x1(z, params["dense"][i], params["dense_b"][i] if use_bias else None)
         x = dense + x[:, -dense.shape[1]:, :]
+        if stack_skips:
+            zs.append(z[:, -out_width:, :])
+            continue
         # column-parallel skip projection: local [B, W, Cs/m]
         skip = conv1x1(
             z[:, -out_width:, :], params["skip"][i],
             params["skip_b"][i] if use_bias else None,
         )
         skip_total = skip if skip_total is None else skip_total + skip
+
+    if stack_skips:
+        # ONE [B·T, L·Cd] x [L·Cd, Cs] skip GEMM instead of L narrow
+        # (contraction Cd) GEMMs each touching the [B·T, Cs] accumulator:
+        # full MXU contraction depth AND ~L x less accumulator HBM traffic
+        # (the fused skip-weight layout the decode kernels already use —
+        # kernels/wavenet_decode.py skipw).  Block-matmul identity: the
+        # layer sum IS the stacked contraction.
+        L, Cd = len(cfg.dilations), cfg.dilation_channels
+        z_all = jnp.concatenate(zs, axis=-1)  # [B, W, L*Cd]
+        skip_total = conv1x1(
+            z_all, params["skip"].reshape(L * Cd, -1), None
+        )
+        if use_bias:
+            skip_total = skip_total + jnp.sum(params["skip_b"], axis=0)
 
     h = jax.nn.relu(skip_total)
     # row-parallel post1: partial products psum'd over model
@@ -134,10 +153,12 @@ def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: in
 
 
 def make_loss_fn(cfg: WaveNetConfig, mesh: Mesh, window_length: int,
-                 compute_dtype=None):
+                 compute_dtype=None, stack_skips: bool = False):
     """Global scalar loss over the mesh: shard_map of the local loss,
     differentiable with ``jax.grad`` (backward collectives auto-derived).
-    ``compute_dtype=jnp.bfloat16`` enables mixed-precision matmuls."""
+    ``compute_dtype=jnp.bfloat16`` enables mixed-precision matmuls.
+    ``stack_skips`` computes the skip projection as one stacked
+    [B·T, L·Cd] x [L·Cd, Cs] GEMM (same math; see _sharded_loss)."""
     sp = mesh.shape["seq"]
     if window_length % sp != 0:
         raise ValueError(f"window_length {window_length} % seq axis {sp} != 0")
@@ -147,7 +168,7 @@ def make_loss_fn(cfg: WaveNetConfig, mesh: Mesh, window_length: int,
     fn = shard_map(
         functools.partial(
             _sharded_loss, cfg=cfg, window_length=window_length, sp=sp,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, stack_skips=stack_skips,
         ),
         mesh=mesh,
         in_specs=(specs, P("data", None)),
@@ -157,9 +178,12 @@ def make_loss_fn(cfg: WaveNetConfig, mesh: Mesh, window_length: int,
 
 
 def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation, mesh: Mesh,
-                    window_length: int, compute_dtype=None):
+                    window_length: int, compute_dtype=None,
+                    stack_skips: bool = False):
     """One compiled update: grads through the sharded loss + optax update."""
-    loss_fn, specs = make_loss_fn(cfg, mesh, window_length, compute_dtype)
+    loss_fn, specs = make_loss_fn(
+        cfg, mesh, window_length, compute_dtype, stack_skips=stack_skips
+    )
 
     @jax.jit
     def train_step(state: TrainState, tokens: jax.Array):

@@ -112,3 +112,30 @@ def test_bf16_compute_loss_close_to_f32():
     # grads flow and stay f32
     grads = jax.grad(bf16_fn)(sharded, toks)
     assert all(g.dtype == jnp.float32 for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_stack_skips_loss_and_grads_match():
+    """stack_skips computes the skip projection as ONE [B·T, L·Cd] x
+    [L·Cd, Cs] GEMM — a block-matmul identity with the per-layer sum, so
+    loss and grads must match the baseline (incl. under dp x sp x tp,
+    where the skip weight is column-split)."""
+    params = wn.init_params(jax.random.PRNGKey(5), TINY)
+    tokens = _data()
+    import jax as _jax
+    for spec in (MeshSpec(data=1, seq=1, model=1), MeshSpec(data=2, seq=2, model=2)):
+        mesh = make_mesh(spec, devices=_jax.devices()[: spec.data * spec.seq * spec.model])
+        base_fn, specs = wt.make_loss_fn(TINY, mesh, WL)
+        stk_fn, _ = wt.make_loss_fn(TINY, mesh, WL, stack_skips=True)
+        sharded = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            params, {k: specs[k] for k in params},
+        )
+        tok = jax.device_put(tokens, NamedSharding(mesh, P("data", None)))
+        l0, g0 = jax.value_and_grad(base_fn)(sharded, tok)
+        l1, g1 = jax.value_and_grad(stk_fn)(sharded, tok)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+        for k in g0:
+            np.testing.assert_allclose(
+                np.asarray(g1[k]), np.asarray(g0[k]), rtol=1e-4, atol=1e-6,
+                err_msg=f"grad mismatch for {k} at {spec}",
+            )
