@@ -1,12 +1,20 @@
 """Hardware validation: AEDecodeSession (per-stream utterance clocks).
 
-The AE resident kernel's per-stream ``pos_offset`` vector (the
-AEDecodeSession enabler) is interpret-tested for exactness; this script
-proves it compiles and holds on real hardware: a briefly-trained
-full-size AE serves staggered-join reconstruction streams and each
-stream's session output must agree with its uninterrupted single-call
-decode (same kernel, same hardware — decisive argmax margins make
-agreement exact).
+The AE kernels' per-stream ``pos_offset`` vector (the AEDecodeSession
+enabler) is interpret-tested for exactness; this script proves it
+compiles and holds on real hardware: a briefly-trained full-size AE
+(12 MB — the planner routes it to the HBM-streaming kernel, the same
+kernel generate_batch serves it with) runs staggered-join reconstruction
+streams and each stream's session output must agree with its
+uninterrupted single-call decode (decisive argmax margins make agreement
+exact).  Two blocks:
+
+  1. the original 2-stream staggered join (round 3's validation, now on
+     the HBM session path), cross-checked against the RESIDENT kernel's
+     single-call decode — a cross-kernel agreement;
+  2. NEW (round 4): capacity 16 -> n_stream_groups=2 on the HBM kernel —
+     12 streams joining across calls, each vs its uninterrupted
+     single-call HBM decode (VERDICT r3 #2's "Done" criterion).
 
 Run: python -m benchmarks.ae_session_validation
 """
@@ -38,13 +46,16 @@ def main():
     from music_tpu.generate.serving import AEDecodeSession
     from music_tpu.generate.wavenet_ae_generate import _jit_encode
     from music_tpu.kernels.wavenet_ae_decode import generate_tokens_fused
+    from music_tpu.kernels.wavenet_ae_decode_hbm import (
+        generate_tokens_fused_hbm,
+    )
     from music_tpu.models import wavenet_ae as ae
 
     t0 = time.time()
     cfg = ae.WaveNetAEConfig()
     sr = 16000
     t = np.arange(sr * 6) / sr
-    clips = [0.5 * np.sin(2 * np.pi * f * t) for f in (220.0, 330.0)]
+    clips = [0.5 * np.sin(2 * np.pi * f * t) for f in (220.0, 330.0, 440.0, 550.0)]
     codes = [mu_law_encode_np(c, cfg.quantization_channel) for c in clips]
 
     params = ae.init_params(jax.random.PRNGKey(0), cfg)
@@ -95,9 +106,55 @@ def main():
         ok = ok and agree == 1.0
         print(f"# stream {i}: session vs single-call agreement {agree:.6f}",
               file=sys.stderr)
+    out["session_kernel"] = getattr(sess._fused, "__name__", "?")
+    out["session_extra"] = dict(sess._extra)
+
+    # block 2 (round 4): capacity 16 -> G=2 HBM session, 12 staggered
+    # streams, each vs its uninterrupted single-call HBM decode
+    sess2 = AEDecodeSession(cfg, params, capacity=16, steps_per_call=k)
+    out["hbm_session_capacity"] = sess2.capacity
+    out["hbm_session_extra"] = dict(sess2._extra)
+    n_streams = 12
+    calls = args.calls
+    joins = [0] * 6 + [1] * 4 + [2] * 2  # join call per stream
+    got2 = {i: [] for i in range(n_streams)}
+    sids2 = {}
+    t2 = time.time()
+    for call in range(calls):
+        for i in range(n_streams):
+            if joins[i] == call:
+                sids2[i] = sess2.add(codes[i % len(codes)])
+        step_out = sess2.step()
+        for i, sid in sids2.items():
+            got2[i].append(step_out[sid])
+    serve2_wall = time.time() - t2
+    total_samples = sum(len(v) * k for v in got2.values())
+
+    hbm_ok = True
+    refs = {}
+    for i in range(n_streams):
+        n_calls_i = calls - joins[i]
+        key = (i % len(codes), n_calls_i)
+        if key not in refs:
+            toks = jnp.asarray(codes[key[0]], jnp.int32)[None]
+            enc = _jit_encode(cfg)(params, toks)
+            P = cfg.receptive_field + max(cfg.dilations)
+            refs[key] = np.asarray(generate_tokens_fused_hbm(
+                params, enc, toks[:, :P], cfg=cfg, n_steps=k * n_calls_i,
+            ))[0]
+        agree = float((np.concatenate(got2[i]) == refs[key]).mean())
+        hbm_ok = hbm_ok and agree == 1.0
+        if agree != 1.0:
+            out[f"hbm_stream{i}_agreement"] = round(agree, 6)
+        print(f"# hbm stream {i}: agreement {agree:.6f}", file=sys.stderr)
+    out["hbm_session_all_exact"] = bool(hbm_ok)
+    out["hbm_session_samples_per_sec"] = round(total_samples / serve2_wall, 1)
+    ok = ok and hbm_ok
+
     out.update({
         "all_exact": bool(ok),
         "serve_wall_s": round(serve_wall, 1),
+        "hbm_serve_wall_s": round(serve2_wall, 1),
         "wall_total_s": round(time.time() - t0, 1),
         "backend": jax.default_backend(),
     })
