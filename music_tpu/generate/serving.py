@@ -374,9 +374,11 @@ class AEDecodeSession:
         steps_per_call: int = 4096,
         encode_bucket: int | None = 4096,
     ):
-        from music_tpu.generate.wavenet_ae_generate import frame_window_width
+        from music_tpu.generate.wavenet_ae_generate import (
+            frame_window_width,
+            plan_ae_serving,
+        )
         from music_tpu.kernels import wavenet_ae_decode as res_k
-        from music_tpu.kernels import wavenet_ae_decode_hbm as hbm_k
 
         self.cfg, self.params = cfg, params
         self.dtype = dtype
@@ -386,40 +388,10 @@ class AEDecodeSession:
         if want < 1:
             raise ValueError(f"capacity must be >= 1, got {want}")
 
-        # plan the kernel (same policy as wavenet_ae_generate.generate_batch)
-        self._extra: dict = {}
-        weight_bytes = sum(
-            int(np.prod(v.shape)) * 4
-            for v in jax.tree_util.tree_leaves(params)
+        # plan the kernel (shared policy with generate_batch)
+        self._fused, self._rows, self._extra = plan_ae_serving(
+            cfg, params, want, dtype, self.steps_per_call
         )
-        self._fused = None
-        if want <= self._S and weight_bytes < 10e6:
-            try:
-                res_k._grouping(cfg)  # raises when a ring row exceeds 128 lanes
-                self._fused = res_k.generate_tokens_fused
-                self._rows = self._S
-            except NotImplementedError:
-                pass
-        if self._fused is None:
-            G_need = -(-want // self._S)
-            g_cap = hbm_k.max_stream_groups(
-                cfg, dtype, n_steps=self.steps_per_call
-            )
-            if G_need > g_cap:
-                g_rings = hbm_k.max_stream_groups_hbm_rings(
-                    cfg, dtype, n_steps=self.steps_per_call
-                )
-                if g_rings > g_cap:
-                    self._extra = {"rings_in_hbm": True}
-                    g_cap = g_rings
-            if g_cap < 1:
-                raise NotImplementedError(
-                    "no AE serving group fits VMEM for this config"
-                )
-            G = min(G_need, g_cap)
-            self._extra["n_stream_groups"] = G
-            self._fused = hbm_k.generate_tokens_fused_hbm
-            self._rows = G * self._S
         # admission bound: an explicit request is never silently raised
         self.capacity = min(want, self._rows) if capacity else self._rows
         self._prime_len = cfg.receptive_field + max(cfg.dilations)
@@ -542,3 +514,44 @@ class AEDecodeSession:
     def audio(self, codes: np.ndarray) -> np.ndarray:
         """µ-law-decode a stream's codes to float audio."""
         return np.asarray(mu_law_decode(codes, self.cfg.quantization_channel))
+
+    # -- continuity (mirrors DecodeSession) --------------------------------
+    def state_dict(self) -> dict:
+        """Serializable session state: per-stream tails, utterance clocks,
+        and bottleneck encodings.  A restored session continues every
+        reconstruction stream exactly where it left off (no re-encode:
+        the encoding is part of the state)."""
+        return {
+            "streams": {
+                int(k): {
+                    "tail": np.asarray(v["tail"]),
+                    "clock": int(v["clock"]),
+                    "enc": np.asarray(v["enc"]),
+                }
+                for k, v in self._streams.items()
+            },
+            "next_sid": self._next_sid,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        """Restore :meth:`state_dict` output into this session (must be
+        constructed with a compatible config/capacity)."""
+        streams = state["streams"]
+        if len(streams) > self.capacity:
+            raise ValueError(
+                f"state has {len(streams)} streams, capacity {self.capacity}"
+            )
+        restored = {}
+        for k, v in streams.items():
+            tail = np.asarray(v["tail"], np.int32)
+            if tail.shape != (self._prime_len,):
+                raise ValueError(
+                    f"stream tail must be [{self._prime_len}], got {tail.shape}"
+                )
+            restored[int(k)] = {
+                "tail": tail,
+                "clock": int(v["clock"]),
+                "enc": np.asarray(v["enc"]),
+            }
+        self._streams = restored
+        self._next_sid = int(state["next_sid"])

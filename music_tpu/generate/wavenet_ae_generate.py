@@ -31,6 +31,51 @@ def _jit_encode(cfg: ae.WaveNetAEConfig):
     return jax.jit(lambda p, t: ae.encode(p, t, cfg))
 
 
+def plan_ae_serving(cfg, params, n_rows: int, dtype, call_steps: int):
+    """Pick the conditioned serving kernel for ``n_rows`` streams at
+    ``call_steps``-step calls (the AE counterpart of
+    wavenet_generate.plan_fused_serving; shared by AEDecodeSession and
+    the mesh path of :func:`generate_batch`).
+
+    Returns ``(fused_fn, rows, extra)``: the kernel callable, the row
+    count it launches (whole 8-stream groups), and its static kwargs
+    (``n_stream_groups`` / ``rings_in_hbm`` for the HBM kernel).
+    Preference: resident kernel for <= 8 rows on VMEM-sized decoders,
+    else the HBM-streaming kernel with interleaved groups, upgrading to
+    ``rings_in_hbm`` past the VMEM-ring group cap.  Raises
+    ``NotImplementedError`` when nothing fits."""
+    from music_tpu.kernels import wavenet_ae_decode as res_k
+    from music_tpu.kernels import wavenet_ae_decode_hbm as hbm_k
+
+    S = res_k.N_STREAMS
+    weight_bytes = sum(
+        int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(params)
+    )
+    if n_rows <= S and weight_bytes < 10e6:
+        try:
+            res_k._grouping(cfg)  # raises when a ring row exceeds 128 lanes
+            return res_k.generate_tokens_fused, S, {}
+        except NotImplementedError:
+            pass
+    G_need = -(-n_rows // S)
+    extra = {}
+    g_cap = hbm_k.max_stream_groups(cfg, dtype, n_steps=call_steps)
+    if G_need > g_cap:
+        g_rings = hbm_k.max_stream_groups_hbm_rings(
+            cfg, dtype, n_steps=call_steps
+        )
+        if g_rings > g_cap:
+            extra = {"rings_in_hbm": True}
+            g_cap = g_rings
+    if g_cap < 1:
+        raise NotImplementedError(
+            "no AE serving group fits VMEM for this config"
+        )
+    G = min(G_need, g_cap)
+    extra["n_stream_groups"] = G
+    return hbm_k.generate_tokens_fused_hbm, G * S, extra
+
+
 def frame_window_width(prime_len: int, steps: int, pool: int) -> int:
     """Encoding frames covering a prime + one decode call, plus clamp
     slack — shared by the chunked decode and AEDecodeSession."""
@@ -174,6 +219,7 @@ def generate_batch(
     sr: int = 16000,
     duration: float | None = None,
     dtype=jnp.float32,
+    mesh=None,
 ) -> np.ndarray:
     """Serve ``n`` concurrent reconstructions; returns ``[n, T]`` audio.
 
@@ -191,6 +237,14 @@ def generate_batch(
 
     ``source_audios``: ``[n, T_src]`` float audio rows (equal length —
     conditioning frames must align).
+
+    ``mesh``: a Mesh with a ``data`` axis scales reconstruction serving
+    out over chips — encoding + prime rows shard over the axis and every
+    device runs its own conditioned decode program (chunk loop traced
+    inline, so one executable per row chunk); multi-PROCESS meshes
+    transfer per-host rows both ways (``multihost.put_global_batch`` in,
+    addressable shards out — each host writes wavs only for the rows its
+    devices decoded).  Axes other than ``data`` must have size 1.
     """
     from music_tpu.kernels import wavenet_ae_decode as res_k
     from music_tpu.kernels import wavenet_ae_decode_hbm as hbm_k
@@ -215,7 +269,93 @@ def generate_batch(
     on_tpu = jax.default_backend() == "tpu"
 
     out_codes = None
-    if on_tpu and tokens.shape[1] >= fused_min:
+    mine = None
+    D = mesh.shape.get("data", 1) if mesh is not None else 1
+    if mesh is not None and D > 1:
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        from music_tpu.generate.wavenet_generate import STEPS_PER_CALL
+        from music_tpu.kernels import wavenet_ae_decode as res_k
+        from music_tpu.parallel import multihost
+
+        if int(np.prod([s for a, s in mesh.shape.items() if a != "data"])) != 1:
+            raise ValueError("AE serving mesh must be data-only (other axes = 1)")
+        multiproc = jax.process_count() > 1
+        per_dev = -(-n // D)
+        fused_fn, rows_planned, extra = None, per_dev, {}
+        if on_tpu and tokens.shape[1] >= fused_min:
+            fused_fn, rows_planned, extra = plan_ae_serving(
+                cfg, params, per_dev, dtype, min(n_steps, STEPS_PER_CALL)
+            )
+        per_call = D * rows_planned
+        ctx_len = fused_min if fused_fn is not None else min(
+            cfg.receptive_field, tokens.shape[1]
+        )
+        prime_np = np.asarray(tokens[:, :ctx_len])
+        enc_np = np.asarray(encoding)
+
+        def body(p, enc_l, ctx_l):
+            # one device's rows; the chunk loop (tail re-prime +
+            # pos_offset frame clock) traces inline — one executable
+            if fused_fn is not None:
+                return _chunked_ae_fused(
+                    fused_fn, p, enc_l, ctx_l, cfg=cfg, n_steps=n_steps,
+                    slice_frames=fused_fn is res_k.generate_tokens_fused,
+                    dtype=dtype, **extra,
+                )
+            return ae.generate_tokens(
+                p, enc_l, ctx_l, jax.random.PRNGKey(0), cfg=cfg,
+                n_steps=n_steps, sample_mode="argmax",
+            )
+
+        pspecs = jax.tree_util.tree_map(lambda _: P_(), params)
+        prog = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(pspecs, P_("data", None, None), P_("data", None)),
+            out_specs=P_("data", None),
+            check_vma=False,  # Pallas out_shapes have no vma (see
+            # wavenet_generate.sharded_rows_program)
+        ))
+        params_g = (
+            jax.device_put(params, NamedSharding(mesh, P_()))
+            if multiproc else params
+        )
+        parts = []
+        for lo in range(0, n, per_call):
+            enc_c = enc_np[lo : lo + per_call]
+            pr_c = prime_np[lo : lo + per_call]
+            pad = per_call - enc_c.shape[0]
+            if pad:
+                enc_c = np.concatenate(
+                    [enc_c, np.tile(enc_c[-1:], (pad, 1, 1))], axis=0
+                )
+                pr_c = np.concatenate(
+                    [pr_c, np.tile(pr_c[-1:], (pad, 1))], axis=0
+                )
+            parts.append(prog(
+                params_g,
+                multihost.put_global_batch(mesh, enc_c),
+                multihost.put_global_batch(mesh, pr_c),
+            ))
+        if multiproc:
+            # assemble this host's rows; remember which global rows we
+            # hold (same scheme as wavenet_generate.generate_batch)
+            rows_out, held = [], []
+            for pi, part in enumerate(parts):
+                local = np.zeros(part.shape, np.int32)
+                for shard in part.addressable_shards:
+                    local[shard.index] = np.asarray(shard.data)
+                    held.extend(
+                        pi * per_call + r
+                        for r in range(*shard.index[0].indices(part.shape[0]))
+                    )
+                rows_out.append(local)
+            out_codes = np.concatenate(rows_out, axis=0)[:n]
+            mine = sorted(r for r in set(held) if r < n)
+        else:
+            out_codes = jnp.concatenate(parts, axis=0)[:n]
+    elif on_tpu and tokens.shape[1] >= fused_min:
         call_steps = min(n_steps, STEPS_PER_CALL)
         weight_bytes = sum(
             int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(params)
@@ -279,6 +419,7 @@ def generate_batch(
     if out_dir is not None:
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
-        for i in range(n):
+        # multi-process: write only the rows this host actually decoded
+        for i in (range(n) if mine is None else mine):
             wavio.write_wav(out_dir / f"recon_{i:03d}.wav", audio[i], sr)
     return audio

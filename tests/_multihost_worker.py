@@ -127,6 +127,33 @@ def main(pid: int, nproc: int, port: int) -> None:
         print(f"MHSESSION {i} " + ",".join(str(int(t)) for t in toks),
               flush=True)
 
+    # AE serving across hosts: encoding + prime rows per host in, this
+    # host's reconstruction rows out (zeros elsewhere)
+    from music_tpu.generate.wavenet_ae_generate import (
+        generate_batch as ae_generate_batch,
+    )
+    from music_tpu.models import wavenet_ae as wae
+
+    ae_cfg = wae.WaveNetAEConfig(
+        filter_width=2, dilations=(1, 2, 4, 8), en_residual_channel=4,
+        en_dilation_channel=4, de_residual_channel=4, de_dilation_channel=4,
+        de_skip_channel=8, en_bottleneck_width=6, en_pool_kernel_size=4,
+        quantization_channel=32,
+    )
+    ae_params = wae.init_params(jax.random.PRNGKey(9), ae_cfg)
+    t_axis = np.arange(ae_cfg.receptive_field + 32) / 16000.0
+    srcs = np.stack([
+        0.4 * np.sin(2 * np.pi * (150.0 + 80.0 * i) * t_axis * 50)
+        for i in range(2)
+    ]).astype(np.float32)
+    ae_audio = ae_generate_batch(
+        cfg=ae_cfg, params=ae_params, source_audios=srcs,
+        duration=16 / 16000, mesh=mesh,
+    )
+    assert ae_audio.shape == (2, 16), ae_audio.shape
+    print("MHAESERVE " + " ".join(f"{ae_audio[i].sum():.8f}" for i in range(2)),
+          flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))

@@ -174,3 +174,33 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         np.testing.assert_array_equal(
             got[i], np.concatenate(want[i]), err_msg=f"stream {i}"
         )
+
+
+    # AE serving across hosts: each host's held reconstruction rows must
+    # equal the single-process batch on the same sources
+    from music_tpu.generate.wavenet_ae_generate import (
+        generate_batch as ae_generate_batch,
+    )
+    from music_tpu.models import wavenet_ae as wae
+
+    ae_cfg = wae.WaveNetAEConfig(
+        filter_width=2, dilations=(1, 2, 4, 8), en_residual_channel=4,
+        en_dilation_channel=4, de_residual_channel=4, de_dilation_channel=4,
+        de_skip_channel=8, en_bottleneck_width=6, en_pool_kernel_size=4,
+        quantization_channel=32,
+    )
+    ae_params = wae.init_params(jax.random.PRNGKey(9), ae_cfg)
+    t_axis = np.arange(ae_cfg.receptive_field + 32) / 16000.0
+    srcs = np.stack([
+        0.4 * np.sin(2 * np.pi * (150.0 + 80.0 * i) * t_axis * 50)
+        for i in range(2)
+    ]).astype(np.float32)
+    ae_ref = ae_generate_batch(
+        cfg=ae_cfg, params=ae_params, source_audios=srcs,
+        duration=16 / 16000,
+    )
+    for pid, out in enumerate(outs):
+        ln = [l for l in out.splitlines() if l.startswith("MHAESERVE ")]
+        assert ln, out
+        sums = [float(x) for x in ln[0].split()[1:]]
+        np.testing.assert_allclose(sums[pid], float(ae_ref[pid].sum()), atol=1e-5)

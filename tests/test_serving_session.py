@@ -286,3 +286,42 @@ def test_ae_session_plans_hbm_kernel_past_8_streams():
         np.testing.assert_array_equal(
             np.concatenate(got[i]), np.asarray(ref[0]), err_msg=f"stream {i}"
         )
+
+
+def test_ae_session_state_roundtrip_continues_exactly():
+    """An AEDecodeSession restored from state_dict (tails + clocks +
+    encodings — no re-encode) must continue every stream exactly as the
+    uninterrupted session would."""
+    from music_tpu.generate.serving import AEDecodeSession
+    from music_tpu.data.audio import mu_law_encode_np
+    from music_tpu.models import wavenet_ae as wae
+
+    cfg = wae.WaveNetAEConfig(
+        filter_width=2, dilations=(1, 2, 4, 8, 1, 2, 4, 8),
+        en_residual_channel=8, en_dilation_channel=8, de_residual_channel=8,
+        de_dilation_channel=8, de_skip_channel=16, en_bottleneck_width=12,
+        en_pool_kernel_size=8, quantization_channel=32,
+    )
+    params = wae.init_params(jax.random.PRNGKey(40), cfg)
+    P = cfg.receptive_field + max(cfg.dilations)
+    t_axis = np.arange(P + 160) / 16000.0
+    clips = [
+        mu_law_encode_np(0.4 * np.sin(2 * np.pi * f * t_axis * 50), 32)
+        for f in (210.0, 350.0)
+    ]
+
+    sess = AEDecodeSession(cfg, params, capacity=4, steps_per_call=32)
+    a = sess.add(clips[0])
+    first = sess.step()
+    b = sess.add(clips[1])
+    state = sess.state_dict()
+
+    cont = sess.step()  # the uninterrupted continuation
+
+    sess2 = AEDecodeSession(cfg, params, capacity=4, steps_per_call=32)
+    sess2.load_state_dict(state)
+    assert sorted(sess2.active) == sorted([a, b])
+    resumed = sess2.step()
+    np.testing.assert_array_equal(resumed[a], cont[a])
+    np.testing.assert_array_equal(resumed[b], cont[b])
+    assert first[a].shape == (32,)

@@ -158,3 +158,24 @@ def test_ae_generate_batch_serving_surface(tmp_path):
     assert np.isfinite(audio).all()
     for i in range(n):
         assert (tmp_path / f"recon_{i:03d}.wav").exists()
+
+
+def test_ae_generate_batch_mesh_matches_meshless():
+    """A data-mesh AE generate_batch (one conditioned decode program per
+    device) must reproduce the meshless batch exactly (argmax scan path
+    off TPU), including a ragged final row chunk."""
+    from music_tpu.generate.wavenet_ae_generate import generate_batch
+    from music_tpu.parallel.mesh import MeshSpec, make_mesh
+
+    params = ae.init_params(jax.random.PRNGKey(12), TINY)
+    n, T = 5, TINY.receptive_field + 64
+    t = np.arange(T) / 16000.0
+    src = np.stack(
+        [0.4 * np.sin(2 * np.pi * (200.0 + 60.0 * i) * t) for i in range(n)]
+    ).astype(np.float32)
+    ref = generate_batch(cfg=TINY, params=params, source_audios=src)
+    mesh = make_mesh(
+        MeshSpec(data=2, seq=1, model=1), devices=jax.devices()[:2]
+    )
+    got = generate_batch(cfg=TINY, params=params, source_audios=src, mesh=mesh)
+    np.testing.assert_array_equal(got, ref)
