@@ -362,6 +362,17 @@ class AEDecodeSession:
     >>> out = sess.step()                   # {a: codes}
     >>> b = sess.add(mu_law_codes_b)        # joins mid-flight
     >>> out = sess.step()                   # {a: ..., b: ...}
+
+    ``mesh``: a Mesh with a ``data`` axis scales the session out over
+    chips (rows shard over it; the decode is argmax-deterministic, so no
+    per-device PRNG is needed).  With a mesh, ``capacity`` is the TOTAL
+    across devices and the kernel is planned PER DEVICE.  Multi-process
+    meshes partition the global row space BY HOST exactly like
+    :class:`DecodeSession`: each process admits (and encodes) its own
+    streams, ``capacity`` reports the per-host admission bound, and every
+    process must call :meth:`step` in lockstep (an empty host launches
+    silence rows and returns ``{}``).  Session state
+    (:meth:`state_dict`) is host-local under multi-process.
     """
 
     def __init__(
@@ -373,6 +384,7 @@ class AEDecodeSession:
         dtype=jnp.float32,
         steps_per_call: int = 4096,
         encode_bucket: int | None = 4096,
+        mesh=None,
     ):
         from music_tpu.generate.wavenet_ae_generate import (
             frame_window_width,
@@ -384,16 +396,34 @@ class AEDecodeSession:
         self.dtype = dtype
         self.steps_per_call = int(steps_per_call)
         self._S = res_k.N_STREAMS
-        want = self._S if capacity is None else int(capacity)
+        self._mesh = mesh
+        D = mesh.shape.get("data", 1) if mesh is not None else 1
+        want = self._S * D if capacity is None else int(capacity)
         if want < 1:
             raise ValueError(f"capacity must be >= 1, got {want}")
 
-        # plan the kernel (shared policy with generate_batch)
-        self._fused, self._rows, self._extra = plan_ae_serving(
-            cfg, params, want, dtype, self.steps_per_call
+        # plan the kernel PER DEVICE (shared policy with generate_batch)
+        self._fused, per_dev, self._extra = plan_ae_serving(
+            cfg, params, -(-want // D), dtype, self.steps_per_call
         )
+        self._rows = D * per_dev
         # admission bound: an explicit request is never silently raised
         self.capacity = min(want, self._rows) if capacity else self._rows
+        self._nproc = jax.process_count() if mesh is not None else 1
+        if self._nproc > 1:
+            if self._rows % self._nproc:
+                raise ValueError(
+                    f"{self._rows} kernel rows not divisible by "
+                    f"{self._nproc} processes"
+                )
+            self._host_rows = self._rows // self._nproc
+            # per-host admission bound (global row space partitioned by
+            # host; see the class docstring)
+            self.capacity = min(
+                self._host_rows, -(-self.capacity // self._nproc)
+            )
+        else:
+            self._host_rows = self._rows
         self._prime_len = cfg.receptive_field + max(cfg.dilations)
         self._pool = cfg.en_pool_kernel_size
         # fixed encoding-frame window covering prime + one step
@@ -408,6 +438,38 @@ class AEDecodeSession:
         self._interpret = jax.default_backend() != "tpu"
         self._streams: dict[int, dict] = {}
         self._next_sid = 0
+        self._sharded = (
+            self._build_sharded_step(mesh) if mesh is not None else None
+        )
+
+    def _build_sharded_step(self, mesh):
+        """One jitted program per step on a data mesh: rows, conditioning
+        windows, and per-stream clocks shard over ``data``; every device
+        runs its own planned-kernel instance (argmax — no PRNG).  Same
+        check_vma note as wavenet_generate.sharded_rows_program."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        if "data" not in mesh.axis_names:
+            raise ValueError("serving mesh needs a 'data' axis")
+        if int(np.prod([s for a, s in mesh.shape.items() if a != "data"])) != 1:
+            raise ValueError("serving mesh must be data-only (other axes = 1)")
+        cfg, k, dtype = self.cfg, self.steps_per_call, self.dtype
+        fused, extra, interpret = self._fused, self._extra, self._interpret
+
+        def body(p, wins, rows, offs):
+            return fused(
+                p, wins, rows, cfg=cfg, n_steps=k, dtype=dtype,
+                pos_offset=offs, interpret=interpret, **extra,
+            )
+
+        pspecs = jax.tree_util.tree_map(lambda _: P(), self.params)
+        return jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(pspecs, P("data", None, None), P("data", None), P("data")),
+            out_specs=P("data", None),
+            check_vma=False,
+        ))
 
     @property
     def active(self) -> list[int]:
@@ -460,7 +522,8 @@ class AEDecodeSession:
     def step(self) -> dict[int, np.ndarray]:
         """Advance every active stream ``steps_per_call`` samples in one
         kernel launch; returns ``{sid: [steps_per_call] int32 codes}``."""
-        if not self._streams:
+        multiproc = self._nproc > 1
+        if not self._streams and not multiproc:
             return {}
         from music_tpu.generate.wavenet_generate import jit_fused
 
@@ -486,22 +549,59 @@ class AEDecodeSession:
             rows.append(st["tail"])
             wins.append(win)
             offs.append(clock - f0 * pool)  # rebased step-0 clock
-        pad = self._rows - len(sids)
+        n_local = self._host_rows if multiproc else self._rows
+        if not sids:
+            # SPMD lockstep: an empty host still launches (silence rows,
+            # zero conditioning — outputs discarded)
+            rows = [np.full(self._prime_len, self.cfg.quantization_channel // 2,
+                            np.int32)]
+            wins = [np.zeros((Fc, self.cfg.en_bottleneck_width), np.float32)]
+            offs = [0]
+        pad = n_local - len(rows)
         if pad:
             rows += [rows[-1]] * pad
             wins += [wins[-1]] * pad
             offs += [offs[-1]] * pad
+        wins_a = np.stack(wins).astype(np.float32)
+        rows_a = np.stack(rows).astype(np.int32)
+        offs_a = np.asarray(offs, np.int32)
 
         k = self.steps_per_call
-        call = jit_fused(
-            self._fused, cfg=self.cfg, n_steps=k, dtype=self.dtype,
-            interpret=self._interpret, **self._extra,
-        )
-        out = call(
-            self.params,
-            (jnp.asarray(np.stack(wins)), jnp.asarray(np.stack(rows), jnp.int32)),
-            {"pos_offset": jnp.asarray(offs, jnp.int32)},
-        )
+        if multiproc:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def _put(x, spec):
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(self._mesh, spec), x,
+                    global_shape=(self._rows,) + x.shape[1:],
+                )
+
+            out_g = self._sharded(
+                self.params,
+                _put(wins_a, P("data", None, None)),
+                _put(rows_a, P("data", None)),
+                _put(offs_a, P("data")),
+            )
+            # this host's rows back out of the sharded result, in row order
+            shards = sorted(
+                out_g.addressable_shards, key=lambda s: s.index[0].start or 0
+            )
+            out = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        elif self._sharded is not None:
+            out = self._sharded(
+                self.params, jnp.asarray(wins_a), jnp.asarray(rows_a),
+                jnp.asarray(offs_a),
+            )
+        else:
+            call = jit_fused(
+                self._fused, cfg=self.cfg, n_steps=k, dtype=self.dtype,
+                interpret=self._interpret, **self._extra,
+            )
+            out = call(
+                self.params,
+                (jnp.asarray(wins_a), jnp.asarray(rows_a)),
+                {"pos_offset": jnp.asarray(offs_a)},
+            )
         out = np.asarray(out)
         result = {}
         for i, sid in enumerate(sids):

@@ -64,7 +64,10 @@ def _per_group_cond_out_bytes(cfg: WaveNetAEConfig, itemsize: int,
                               n_steps: int) -> int:
     S = N_STREAMS
     Cd, Cs = cfg.de_dilation_channel, cfg.de_skip_channel
-    cond = S * (cfg.n_blocks * 2 * Cd + Cs) * itemsize  # current-frame rows
+    # cur + nxt frame rows: per-stream-clock callers double-buffer the
+    # conditioning staging (charged unconditionally — scalar callers get
+    # a slightly conservative cap)
+    cond = 2 * S * (cfg.n_blocks * 2 * Cd + Cs) * itemsize
     out = _round_up(n_steps, 128) * S * 4 if n_steps else 0
     return cond + out
 
@@ -124,12 +127,15 @@ def _ae_kernel_hbm(
     post_hbm,        # [Cs, Cs + Q]
     condfg_hbm,      # [F, G*S, L*2Cd]
     condpost_hbm,    # [F, G*S, Cs]
-    off_ref,         # SMEM i32 — absolute time of step 0 (pos_offset + P);
-    #                  dynamic so chunked long decodes don't recompile.
-    #                  [1] shared clock, or [G*S] per-stream clocks
-    #                  (AEDecodeSession streams join at different times)
-    out_ref,         # [(T//128)*G*S, 128] i32
-    *rest,           # (+ ring_state ANY output when hbm rings) + scratch
+    off_ref,         # SMEM i32 — shared clock: [1] absolute time of step 0
+    #                  (pos_offset + P; dynamic so chunked long decodes
+    #                  don't recompile).  Per-stream clocks: [G*S] REBASED
+    #                  in-window phases r_s in [0, pool) (the wrapper
+    #                  shifts each stream's table column by its base
+    #                  frame — AEDecodeSession streams join at any time)
+    *rest,           # (+ off_lanes VMEM input when per-stream clocks)
+    #                  + out_ref [(T//128)*G*S, 128] i32
+    #                  (+ ring_state ANY output when hbm rings) + scratch
     cfg: WaveNetAEConfig,
     total: int,
     F: int,
@@ -139,10 +145,13 @@ def _ae_kernel_hbm(
     per_stream_pos: bool = False,
 ):
     hbm_rings = hbm_ring_min_dilation > 0
-    if hbm_rings:
-        ring_state, *scratch = rest
-    else:
-        scratch = rest
+    rest = list(rest)
+    # lane-replicated [G*S, 128] copy of off_ref so the crossing mask is
+    # pure elementwise vector math (no sublane broadcasts)
+    off_lanes_ref = rest.pop(0) if per_stream_pos else None
+    out_ref = rest.pop(0)
+    ring_state = rest.pop(0) if hbm_rings else None
+    scratch = rest
     t0_frame_offset = off_ref[0]
     L = cfg.n_blocks
     Cr, Cd, Cs, Q = (
@@ -174,8 +183,14 @@ def _ae_kernel_hbm(
     rings = {g: rings_list[k] for k, g in enumerate(vmem_idx)}
     tap_stage = {g: scratch[n_vmem + k] for k, g in enumerate(hbm_idx)}
     wr_stage = {g: scratch[n_vmem + n_hbm + k] for k, g in enumerate(hbm_idx)}
-    (gate_buf, proj_buf, post_buf, cond_fg_cur, cond_post_cur,
-     gate_sem, proj_sem, post_sem, cond_sem, *ring_sems) = scratch[n_vmem + 2 * n_hbm:]
+    tail = scratch[n_vmem + 2 * n_hbm:]
+    if per_stream_pos:
+        (gate_buf, proj_buf, post_buf, cond_fg_cur, cond_post_cur,
+         cond_fg_nxt, cond_post_nxt,
+         gate_sem, proj_sem, post_sem, cond_sem, *ring_sems) = tail
+    else:
+        (gate_buf, proj_buf, post_buf, cond_fg_cur, cond_post_cur,
+         gate_sem, proj_sem, post_sem, cond_sem, *ring_sems) = tail
     if n_hbm:
         tap_sem, wr_sem = ring_sems
     layer_group = {}
@@ -212,39 +227,50 @@ def _ae_kernel_hbm(
         fg_dma.wait()
         post_dma_c.wait()
 
-    def stream_cond_dmas(t, s):
-        # per-stream frame-row DMAs: stream s's OWN utterance clock picks
-        # its frame; the [1, C] slice keeps the copy 2-D with a whole
-        # (lane-aligned) minor dim
-        frame = jnp.minimum((t + off_ref[s]) // pool, F - 1)
+    # Per-stream utterance clocks, the Mosaic-aligned way (sublane-dim
+    # row slices are illegal on tiled memrefs): the wrapper rebases every
+    # stream's table column so its step-0 phase r_s = off_ref[s] lies in
+    # [0, pool).  Then at any step t every stream's frame is w or w+1
+    # with w = t // pool a SHARED window counter — the refresh stays
+    # whole-tile leading-dim-indexed DMAs (frame w rows in ``cur``, w+1
+    # in ``nxt``), and a stream crossing mid-window commits its rows via
+    # a lane-replicated-mask vector select (no sublane addressing).
+    def start_nxt(w_next):
+        row = jnp.minimum(w_next, F - 1)
         fg = pltpu.make_async_copy(
-            condfg_hbm.at[frame, pl.ds(s, 1)],
-            cond_fg_cur.at[pl.ds(s, 1)],
-            cond_sem.at[0, s],
+            condfg_hbm.at[row], cond_fg_nxt, cond_sem.at[0, 1]
         )
         po = pltpu.make_async_copy(
-            condpost_hbm.at[frame, pl.ds(s, 1)],
-            cond_post_cur.at[pl.ds(s, 1)],
-            cond_sem.at[1, s],
+            condpost_hbm.at[row], cond_post_nxt, cond_sem.at[1, 1]
         )
-        return fg, po
+        fg.start()
+        po.start()
+        fg.wait()
+        po.wait()
 
-    def refresh_streams(t, preds=None):
-        # start every crossed stream's pair first, then wait — the row
-        # DMAs overlap; a refresh costs each stream once per `pool` steps.
-        # ``preds=None`` refreshes every stream (boot).
-        for s in range(S_total):
-            def start(s=s):
-                fg, po = stream_cond_dmas(t, s)
-                fg.start()
-                po.start()
-            pl.when(preds[s])(start) if preds is not None else start()
-        for s in range(S_total):
-            def wait(s=s):
-                fg, po = stream_cond_dmas(t, s)
-                fg.wait()
-                po.wait()
-            pl.when(preds[s])(wait) if preds is not None else wait()
+    def boot_streams():
+        fg = pltpu.make_async_copy(condfg_hbm.at[0], cond_fg_cur, cond_sem.at[0, 0])
+        po = pltpu.make_async_copy(condpost_hbm.at[0], cond_post_cur, cond_sem.at[1, 0])
+        fg.start()
+        po.start()
+        fg.wait()
+        po.wait()
+        start_nxt(1)
+
+    def merge_crossed(tm):
+        # commit rows for every stream already past its in-window crossing
+        # (idempotent w.r.t. the same ``nxt`` tile, so firing on any
+        # crossing instant is exact for all previously-crossed rows too)
+        crossed = (tm + off_lanes_ref[:]) >= pool  # [G*S, 128] bool
+        for buf_cur, buf_nxt, width in (
+            (cond_fg_cur, cond_fg_nxt, L * 2 * Cd),
+            (cond_post_cur, cond_post_nxt, Cs),
+        ):
+            for c in range(0, width, 128):
+                n = min(128, width - c)
+                buf_cur[:, c : c + n] = jnp.where(
+                    crossed[:, :n], buf_nxt[:, c : c + n], buf_cur[:, c : c + n]
+                )
 
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (S, Q), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
@@ -289,7 +315,7 @@ def _ae_kernel_hbm(
         gate_dma(i0 % NB, i0).start()
         proj_dma(i0 % NB, i0).start()
     if per_stream_pos:
-        refresh_streams(0)
+        boot_streams()
     else:
         refresh_cond(0)
 
@@ -297,10 +323,26 @@ def _ae_kernel_hbm(
         prev_oh, cur_oh, out_row = carry  # tuples of G per-group arrays
 
         if per_stream_pos:
-            refresh_streams(t, [
-                jnp.logical_and(t > 0, (t + off_ref[s]) % pool == 0)
-                for s in range(S_total)
-            ])
+            tm = jax.lax.rem(t, pool)
+
+            @pl.when(jnp.logical_and(t > 0, tm == 0))
+            def _():
+                # window boundary: every stream sits exactly at frame
+                # w = t // pool here (r_s < pool), which is ``nxt``
+                cond_fg_cur[...] = cond_fg_nxt[...]
+                cond_post_cur[...] = cond_post_nxt[...]
+                start_nxt(t // pool + 1)
+
+            # exactly one crossing per stream per window, at
+            # tm == pool - r_s (r_s == 0 crosses at the boundary above)
+            merge_now = functools.reduce(
+                jnp.logical_or,
+                [
+                    jnp.logical_and(off_ref[s] > 0, tm == pool - off_ref[s])
+                    for s in range(S_total)
+                ],
+            )
+            pl.when(merge_now)(lambda: merge_crossed(tm))
         else:
             @pl.when(jnp.logical_and(t > 0, (t + t0_frame_offset) % pool == 0))
             def _():
@@ -510,10 +552,13 @@ def generate_tokens_fused_hbm(
 
     ``pos_offset`` may be a per-stream ``[B]`` vector — every stream keeps
     its OWN utterance clock (AEDecodeSession streams join at different
-    times): the conditioning refresh becomes per-stream frame-ROW DMAs,
-    fired for exactly the streams that cross a frame boundary at each
-    step.  Scalar callers compile the shared-clock program unchanged (one
-    contiguous block DMA per refresh)."""
+    times): each stream's table column is rebased host-side to its base
+    frame, so in-kernel every stream's frame is ``w`` or ``w+1`` with a
+    SHARED window counter ``w = t // pool`` — the refresh stays whole-tile
+    leading-dim DMAs into a cur/nxt staging pair and per-stream crossings
+    commit via a lane-replicated-mask vector select (Mosaic forbids
+    sublane-dim row slices).  Scalar callers compile the shared-clock
+    program unchanged (one contiguous block DMA per refresh)."""
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
     if rings_in_hbm and hbm_ring_min_dilation < 3 and not interpret:
@@ -578,6 +623,26 @@ def generate_tokens_fused_hbm(
         jnp.einsum("bfw,wc->bfc", encoding, params["cond_post"]), 0, 1
     )  # [F, G*S, Cs]
 
+    poolw = cfg.en_pool_kernel_size
+    if per_stream_pos:
+        # rebase each stream's table column by its base frame so the
+        # kernel-side phase r_s lives in [0, pool): at any step every
+        # stream's frame is then w or w+1 (w = t // pool shared), which
+        # the kernel serves from two whole-tile staging buffers — see
+        # _ae_kernel_hbm's per-stream-clock notes
+        abs0 = (pos_vec + P).astype(jnp.int32)  # [G*S] step-0 clocks
+        base = abs0 // poolw
+        fidx = jnp.clip(
+            jnp.arange(F, dtype=jnp.int32)[:, None] + base[None, :], 0, F - 1
+        )  # [F, G*S]
+        cond_fg = jnp.take_along_axis(cond_fg, fidx[:, :, None], axis=0)
+        cond_post = jnp.take_along_axis(cond_post, fidx[:, :, None], axis=0)
+        off_op = (abs0 % poolw).astype(jnp.int32)
+        off_extra = (jnp.broadcast_to(off_op[:, None], (S_total, 128)),)
+    else:
+        off_op = jnp.asarray(pos_offset + P, jnp.int32).reshape(1)
+        off_extra = ()
+
     hbm_min_d = hbm_ring_min_dilation if rings_in_hbm else 0
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
@@ -613,7 +678,8 @@ def generate_tokens_fused_hbm(
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
         + [pl.BlockSpec(memory_space=pl.ANY)] * 6
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(off_extra),
         out_specs=out_specs,
         input_output_aliases=aliases,
         scratch_shapes=[pltpu.VMEM((G * d, S, W), dtype) for d, _ in vmem_groups]
@@ -624,11 +690,21 @@ def generate_tokens_fused_hbm(
             pltpu.VMEM((2, Cs, PB), dtype),                    # post buffers
             pltpu.VMEM((S_total, cfg.n_blocks * 2 * Cd), dtype),  # cond_fg rows
             pltpu.VMEM((S_total, Cs), dtype),                  # cond_post rows
+        ]
+        + (
+            [  # frame w+1 staging (per-stream clocks double-buffer)
+                pltpu.VMEM((S_total, cfg.n_blocks * 2 * Cd), dtype),
+                pltpu.VMEM((S_total, Cs), dtype),
+            ]
+            if per_stream_pos
+            else []
+        )
+        + [
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
-            # cond_sem: one per (table, stream) when per-stream clocks
-            pltpu.SemaphoreType.DMA((2, S_total) if per_stream_pos else (2,)),
+            # cond_sem: one per (table, cur/nxt buffer) when per-stream
+            pltpu.SemaphoreType.DMA((2, 2) if per_stream_pos else (2,)),
         ]
         + ring_sem_shapes,
         interpret=interpret,
@@ -636,8 +712,7 @@ def generate_tokens_fused_hbm(
         cur0.astype(dtype), prev0.astype(dtype), w["ecur"], w["eprev"],
         ring0.astype(dtype), w["gate"], w["proj"], w["post"],
         cond_fg.astype(dtype), cond_post.astype(dtype),
-        (pos_vec + P) if per_stream_pos
-        else jnp.asarray(pos_offset + P, jnp.int32).reshape(1),
+        off_op, *off_extra,
     )
     if hbm_min_d:
         out = out[0]

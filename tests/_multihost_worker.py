@@ -154,6 +154,45 @@ def main(pid: int, nproc: int, port: int) -> None:
     print("MHAESERVE " + " ".join(f"{ae_audio[i].sum():.8f}" for i in range(2)),
           flush=True)
 
+    # multi-process AEDecodeSession: per-host encode + admission into
+    # host-owned row blocks, lockstep steps with join/leave churn
+    from music_tpu.data.audio import mu_law_encode_np
+    from music_tpu.generate.serving import AEDecodeSession
+
+    ae_t = np.arange(ae_cfg.receptive_field + max(ae_cfg.dilations) + 64) / 16000.0
+    ae_clips = [
+        mu_law_encode_np(
+            0.4 * np.sin(2 * np.pi * (160.0 + 70.0 * i) * ae_t * 50), 32
+        )
+        for i in range(4)
+    ]
+    ae_sess = AEDecodeSession(
+        ae_cfg, ae_params, capacity=4, steps_per_call=16, mesh=mesh,
+    )
+    assert ae_sess.capacity == 2, ae_sess.capacity  # per-host admission
+    ae_mine = {}
+    a = ae_sess.add(ae_clips[2 * pid])
+    out = ae_sess.step()
+    ae_mine[2 * pid] = [out[a]]
+    b = ae_sess.add(ae_clips[2 * pid + 1]) if pid == 0 else None
+    out = ae_sess.step()
+    ae_mine[2 * pid].append(out[a])
+    if pid == 0:
+        ae_mine[1] = [out[b]]
+    else:
+        b = ae_sess.add(ae_clips[2 * pid + 1])
+        ae_sess.finish(a)
+    out = ae_sess.step()
+    if pid == 0:
+        ae_mine[0].append(out[a])
+        ae_mine[1].append(out[b])
+    else:
+        ae_mine[3] = [out[b]]
+    for i, chunks in sorted(ae_mine.items()):
+        toks = np.concatenate(chunks)
+        print(f"MHAESESSION {i} " + ",".join(str(int(t)) for t in toks),
+              flush=True)
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))

@@ -204,3 +204,42 @@ def test_two_process_cluster_matches_single_process(tmp_path):
         assert ln, out
         sums = [float(x) for x in ln[0].split()[1:]]
         np.testing.assert_allclose(sums[pid], float(ae_ref[pid].sum()), atol=1e-5)
+
+    # multi-process AEDecodeSession: every reconstruction stream's tokens
+    # (per-host encode + admission, join/leave churn across lockstep
+    # steps) must equal the single-process session's on the same clips
+    from music_tpu.data.audio import mu_law_encode_np
+    from music_tpu.generate.serving import AEDecodeSession
+
+    ae_t = np.arange(ae_cfg.receptive_field + max(ae_cfg.dilations) + 64) / 16000.0
+    ae_clips = [
+        mu_law_encode_np(
+            0.4 * np.sin(2 * np.pi * (160.0 + 70.0 * i) * ae_t * 50), 32
+        )
+        for i in range(4)
+    ]
+    ae_ref_sess = AEDecodeSession(
+        ae_cfg, ae_params, capacity=4, steps_per_call=16,
+    )
+    ae_want = {}
+    a0 = ae_ref_sess.add(ae_clips[0]); a1 = ae_ref_sess.add(ae_clips[2])
+    out = ae_ref_sess.step()
+    ae_want[0] = [out[a0]]; ae_want[2] = [out[a1]]
+    b0 = ae_ref_sess.add(ae_clips[1])
+    out = ae_ref_sess.step()
+    ae_want[0].append(out[a0]); ae_want[2].append(out[a1]); ae_want[1] = [out[b0]]
+    b1 = ae_ref_sess.add(ae_clips[3]); ae_ref_sess.finish(a1)
+    out = ae_ref_sess.step()
+    ae_want[0].append(out[a0]); ae_want[1].append(out[b0]); ae_want[3] = [out[b1]]
+
+    ae_got = {}
+    for out_text in outs:
+        for ln in out_text.splitlines():
+            if ln.startswith("MHAESESSION "):
+                _, idx, toks = ln.split(" ", 2)
+                ae_got[int(idx)] = np.array([int(t) for t in toks.split(",")])
+    assert sorted(ae_got) == [0, 1, 2, 3], sorted(ae_got)
+    for i in range(4):
+        np.testing.assert_array_equal(
+            ae_got[i], np.concatenate(ae_want[i]), err_msg=f"ae stream {i}"
+        )
