@@ -71,7 +71,11 @@ def main():
         return optax.apply_updates(params, updates), opt, loss
 
     for _ in range(args.train_steps):
-        rows = [codes[rng.integers(2)][s : s + W]
+        # cover ALL clips: block 2's streams reconstruct codes[2]/codes[3]
+        # too, and an untrained clip decodes with ~0 argmax margins — then
+        # chunk-boundary re-prime FP differences flip ~1% of tokens and
+        # fake a kernel mismatch (the CLAUDE.md margin-noise trap)
+        rows = [codes[rng.integers(len(codes))][s : s + W]
                 for s in rng.integers(0, len(codes[0]) - W, 4)]
         params, opt, loss = train_step(params, opt, jnp.asarray(np.stack(rows)))
     print(f"# trained, loss {float(loss):.4f}", file=sys.stderr)

@@ -1,0 +1,113 @@
+"""Short adversarial-stabilizer sweep for LeakGAN on the real corpus.
+
+VERDICT r3 #3 context: the reference protocol's adversarial phase
+(leak_gan/train.py:210-320, plain alternation) degrades real-corpus eval
+NLL from the first update and eventually mode-collapses.  Round 4 added
+two opt-in stabilizers — interleaved teacher-forcing epochs (the LeakGAN
+paper's schedule) and an adversarial-only LR scale
+(LeakGanTrainConfig.adv_lr_scale; Adam is gradient-scale-invariant, so
+the policy-gradient step needs an LR knob).  This sweep restores the
+SAME post-pretrain checkpoint (step_0 of a leakgan_quality_run output
+dir) for every variant and runs a short adversarial horizon, so the
+variants are directly comparable; the winner graduates to a full
+leakgan_quality_run.
+
+Run: python -m benchmarks.leakgan_stabilizer_sweep \
+        [--ckpts benchmarks/artifacts/leakgan_quality_r4/ckpts] \
+        [--epochs 60] [--eval-every 10]
+Prints one JSON line; streams per-variant progress to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from benchmarks.leakgan_quality_run import load_real_corpus
+
+
+VARIANTS = [
+    # (name, interleave, adv_lr_scale)
+    ("reference", 0, 1.0),
+    ("interleave1", 1, 1.0),
+    ("advlr0.1", 0, 0.1),
+    ("interleave1+advlr0.1", 1, 0.1),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpts", default="benchmarks/artifacts/leakgan_quality_r4/ckpts")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--eval-every", type=int, default=10)
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated subset of variant names")
+    args = ap.parse_args()
+
+    from music_tpu.core import checkpoint as ckpt_lib
+    from music_tpu.models import leakgan as lg
+    from music_tpu.train.leakgan_train import LeakGanTrainConfig, LeakGanTrainer
+
+    t0 = time.time()
+    train, evals, _ = load_real_corpus()
+    vocab = int(max(train.max(), evals.max())) + 1
+
+    picked = [
+        v for v in VARIANTS
+        if args.variants is None or v[0] in args.variants.split(",")
+    ]
+    results = {}
+    pre_nll = None
+    for name, interleave, adv_scale in picked:
+        cfg = lg.LeakGanConfig(vocab_size=vocab)
+        tc = LeakGanTrainConfig(cfg=cfg, adv_lr_scale=adv_scale)
+        tr = LeakGanTrainer(tc, seed=233)
+        # restore the shared post-pretrain state (step_0: G pretrained 80
+        # epochs + D pretrained 50 epochs on the reference corpus)
+        state = ckpt_lib.restore(args.ckpts, tr.state(), step=0)
+        tr.g_params, tr.d_params = state["g_params"], state["d_params"]
+        tr.m_opt, tr.w_opt, tr.d_opt = (
+            state["m_opt"], state["w_opt"], state["d_opt"],
+        )
+        if pre_nll is None:
+            pre_nll = tr.eval_nll(evals)
+            print(f"# post-pretrain eval NLL {pre_nll:.4f}", file=sys.stderr)
+        traj = []
+        best = float("inf")
+        for ep in range(1, args.epochs + 1):
+            tr.adversarial_epoch(
+                train, d_steps=5, d_epochs=3,
+                interleave_supervision=interleave,
+            )
+            if ep % args.eval_every == 0 or ep == 1:
+                nll = tr.eval_nll(evals)
+                best = min(best, nll)
+                traj.append({"epoch": ep, "eval_nll": round(nll, 4)})
+                print(f"# {name} ep {ep}: eval_nll {nll:.4f} "
+                      f"(t={time.time()-t0:.0f}s)", file=sys.stderr)
+        results[name] = {
+            "interleave": interleave,
+            "adv_lr_scale": adv_scale,
+            "best_eval_nll": round(best, 4),
+            "final_eval_nll": traj[-1]["eval_nll"],
+            "delta_vs_pretrain": round(best - pre_nll, 4),
+            "trajectory": traj,
+        }
+
+    winner = min(results, key=lambda k: results[k]["best_eval_nll"])
+    print(json.dumps({
+        "metric": "leakgan_stabilizer_sweep",
+        "pretrain_eval_nll": round(float(pre_nll), 4),
+        "epochs": args.epochs,
+        "results": results,
+        "winner": winner,
+        "wall_s": round(time.time() - t0, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -385,6 +385,7 @@ class AEDecodeSession:
         steps_per_call: int = 4096,
         encode_bucket: int | None = 4096,
         mesh=None,
+        kernel: str = "auto",
     ):
         from music_tpu.generate.wavenet_ae_generate import (
             frame_window_width,
@@ -402,9 +403,11 @@ class AEDecodeSession:
         if want < 1:
             raise ValueError(f"capacity must be >= 1, got {want}")
 
-        # plan the kernel PER DEVICE (shared policy with generate_batch)
+        # plan the kernel PER DEVICE (shared policy with generate_batch);
+        # kernel="hbm" pins the streaming kernel (plan_ae_serving docs)
         self._fused, per_dev, self._extra = plan_ae_serving(
-            cfg, params, -(-want // D), dtype, self.steps_per_call
+            cfg, params, -(-want // D), dtype, self.steps_per_call,
+            kernel=kernel,
         )
         self._rows = D * per_dev
         # admission bound: an explicit request is never silently raised

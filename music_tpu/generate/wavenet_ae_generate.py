@@ -31,7 +31,8 @@ def _jit_encode(cfg: ae.WaveNetAEConfig):
     return jax.jit(lambda p, t: ae.encode(p, t, cfg))
 
 
-def plan_ae_serving(cfg, params, n_rows: int, dtype, call_steps: int):
+def plan_ae_serving(cfg, params, n_rows: int, dtype, call_steps: int,
+                    kernel: str = "auto"):
     """Pick the conditioned serving kernel for ``n_rows`` streams at
     ``call_steps``-step calls (the AE counterpart of
     wavenet_generate.plan_fused_serving; shared by AEDecodeSession and
@@ -39,25 +40,39 @@ def plan_ae_serving(cfg, params, n_rows: int, dtype, call_steps: int):
 
     Returns ``(fused_fn, rows, extra)``: the kernel callable, the row
     count it launches (whole 8-stream groups), and its static kwargs
-    (``n_stream_groups`` / ``rings_in_hbm`` for the HBM kernel).
-    Preference: resident kernel for <= 8 rows on VMEM-sized decoders,
-    else the HBM-streaming kernel with interleaved groups, upgrading to
-    ``rings_in_hbm`` past the VMEM-ring group cap.  Raises
+    (``n_stream_groups`` for either kernel / ``rings_in_hbm`` for the HBM
+    kernel).  Preference: resident kernel (lowest step latency) for as
+    many interleaved stream groups as fit VMEM next to the weights on
+    VMEM-sized decoders, else the HBM-streaming kernel, upgrading to
+    ``rings_in_hbm`` past the VMEM-ring group cap.  ``kernel``: "auto",
+    or pin "hbm" (operators trading step latency for headroom; also the
+    CI hook covering the streaming path on small test configs).  Raises
     ``NotImplementedError`` when nothing fits."""
     from music_tpu.kernels import wavenet_ae_decode as res_k
     from music_tpu.kernels import wavenet_ae_decode_hbm as hbm_k
 
+    if kernel not in ("auto", "hbm"):
+        raise ValueError(f"kernel must be 'auto' or 'hbm', got {kernel!r}")
     S = res_k.N_STREAMS
+    G_need = -(-n_rows // S)
     weight_bytes = sum(
         int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(params)
     )
-    if n_rows <= S and weight_bytes < 10e6:
+    if kernel == "auto" and weight_bytes < 10e6:
         try:
             res_k._grouping(cfg)  # raises when a ring row exceeds 128 lanes
-            return res_k.generate_tokens_fused, S, {}
+            Fc = frame_window_width(
+                cfg.receptive_field + max(cfg.dilations), call_steps,
+                cfg.en_pool_kernel_size,
+            )
+            res_g = res_k.max_stream_groups(
+                cfg, dtype, n_steps=call_steps, n_frames=Fc
+            )
+            if res_g >= max(G_need, 1):
+                extra = {"n_stream_groups": G_need} if G_need > 1 else {}
+                return res_k.generate_tokens_fused, max(G_need, 1) * S, extra
         except NotImplementedError:
             pass
-    G_need = -(-n_rows // S)
     extra = {}
     g_cap = hbm_k.max_stream_groups(cfg, dtype, n_steps=call_steps)
     if G_need > g_cap:
@@ -361,12 +376,21 @@ def generate_batch(
             int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(params)
         )
         prime = tokens[:, :fused_min]
-        if n <= res_k.N_STREAMS and weight_bytes < 10e6:
+        if weight_bytes < 10e6:
             try:
-                out_codes = _chunked_ae_fused(
-                    res_k.generate_tokens_fused, params, encoding, prime,
-                    cfg=cfg, n_steps=n_steps, dtype=dtype,
+                Fc = frame_window_width(
+                    fused_min, call_steps, cfg.en_pool_kernel_size
                 )
+                res_g = res_k.max_stream_groups(
+                    cfg, dtype, n_steps=call_steps, n_frames=Fc
+                )
+                G_need = -(-n // res_k.N_STREAMS)
+                if res_g >= max(G_need, 1):
+                    out_codes = _chunked_ae_fused(
+                        res_k.generate_tokens_fused, params, encoding, prime,
+                        cfg=cfg, n_steps=n_steps, dtype=dtype,
+                        **({"n_stream_groups": G_need} if G_need > 1 else {}),
+                    )
             except NotImplementedError:
                 out_codes = None  # resident rejects — try HBM below
         if out_codes is None:

@@ -40,6 +40,41 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def max_stream_groups(
+    cfg: WaveNetAEConfig,
+    dtype=jnp.float32,
+    vmem_budget: int = 14 * 1024 * 1024,
+    n_steps: int = 0,
+    n_frames: int = 0,
+) -> int:
+    """Serving groups that fit VMEM next to the resident weights — the AE
+    analog of :func:`kernels.wavenet_decode.max_stream_groups`.
+
+    Per-group cost: one ring-cache set, the per-stream conditioning
+    tables (``S * n_frames`` rows of ``L*2Cd + Cs`` — VMEM inputs), the
+    current-row staging, and the int32 output tile for one
+    ``n_steps``-step call.  Shared: the repacked weights.  Returns 0 when
+    the weights alone don't fit (use the HBM-streaming kernel)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    S = N_STREAMS
+    L, Cr, Cd, Cs, Q = (
+        cfg.n_blocks, cfg.de_residual_channel, cfg.de_dilation_channel,
+        cfg.de_skip_channel, cfg.quantization_channel,
+    )
+    ring_bytes = sum({d for d in cfg.dilations}) * S * 128 * itemsize
+    cond_rows = L * 2 * Cd + Cs
+    cond_tab_bytes = S * max(n_frames, 1) * cond_rows * itemsize
+    cond_cur_bytes = S * cond_rows * itemsize
+    out_bytes = _round_up(n_steps, 128) * S * 4 if n_steps else 0
+    weight_bytes = (
+        L * (128 * 2 * Cd + Cr * 2 * Cd + Cd * Cr)
+        + L * Cd * Cs + Cs * Cs + Cs * Q
+        + 2 * Q * Cr
+    ) * itemsize
+    per_group = ring_bytes + cond_tab_bytes + cond_cur_bytes + out_bytes
+    return max(0, (vmem_budget - weight_bytes) // per_group)
+
+
 def _grouping(cfg: WaveNetAEConfig, row_lanes: int = 128):
     Cr = cfg.de_residual_channel
     order: list[int] = []
@@ -174,7 +209,8 @@ def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
     return init, cur0, prev0, s0
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "interpret", "dtype"))
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "n_steps", "interpret", "dtype", "n_stream_groups"))
 def generate_tokens_fused(
     params: dict,
     encoding: jax.Array,
@@ -185,6 +221,7 @@ def generate_tokens_fused(
     interpret: bool = False,
     dtype=jnp.float32,
     pos_offset=0,
+    n_stream_groups: int = 1,
 ) -> jax.Array:
     """Conditioned fused decode: ``n_steps`` codes per stream after priming.
 
@@ -197,16 +234,24 @@ def generate_tokens_fused(
     utterance clock (AEDecodeSession streams join at different times);
     the conditioning refresh fires whenever ANY stream crosses a frame
     boundary and selects each stream's frame independently.
+
+    ``n_stream_groups=G`` serves ``G * 8`` independent streams from one
+    kernel — each group keeps its own sublane tile, ring-cache set, and
+    conditioning tables, and the G dependency chains interleave in the
+    pipeline (the same scheme as kernels/wavenet_decode.py; VMEM sizing
+    via :func:`max_stream_groups`).
     """
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
     B, P = prime.shape
     S = N_STREAMS
-    if B > S:
-        raise ValueError(f"at most {S} streams, got {B}")
+    G = n_stream_groups
+    S_total = G * S
+    if B > S_total:
+        raise ValueError(f"at most {S_total} streams, got {B}")
     pos_vec = jnp.broadcast_to(jnp.asarray(pos_offset, jnp.int32).reshape(-1), (B,))
-    if B < S:
-        pad = S - B
+    if B < S_total:
+        pad = S_total - B
         prime = jnp.concatenate([prime, jnp.tile(prime[-1:], (pad, 1))], axis=0)
         encoding = jnp.concatenate(
             [encoding, jnp.tile(encoding[-1:], (pad, 1, 1))], axis=0
@@ -217,37 +262,48 @@ def generate_tokens_fused(
     ring0, cur0, prev0, s0 = _collect_prime_state(
         params, prime, encoding, cfg, pos_offset=pos_vec
     )
+    if G > 1:
+        # repack [tiles, G*S, 128] -> [G*tiles, S, 128]: group sg's tiles first
+        n_tiles = ring0.shape[0]
+        ring0 = (
+            ring0.reshape(n_tiles, G, S, 128)
+            .swapaxes(0, 1)
+            .reshape(G * n_tiles, S, 128)
+        )
     w = _build_kernel_weights(params, cfg, dtype)
-    # per-frame bias tables: conditioning is per-stream, so the frame axis
-    # is S*F with stream s's frames at rows [s*F, (s+1)*F) and the kernel's
-    # one-hot compares each sublane s against s*F + frame.
+    # per-frame bias tables, one table per GROUP: conditioning is
+    # per-stream, so within group sg the frame axis is S*F with stream
+    # s's frames at rows [s*F, (s+1)*F) and the kernel's one-hot compares
+    # each sublane s against s*F + frame.
     F = encoding.shape[1]
     cond_fg = jnp.einsum("bfw,lwc->bflc", encoding, params["cond_fg"])
-    cond_fg = cond_fg.reshape(S * F, cfg.n_blocks * 2 * cfg.de_dilation_channel)
+    cond_fg = cond_fg.reshape(G, S * F, cfg.n_blocks * 2 * cfg.de_dilation_channel)
     cond_post = jnp.einsum("bfw,wc->bfc", encoding, params["cond_post"])
-    cond_post = cond_post.reshape(S * F, cfg.de_skip_channel)
+    cond_post = cond_post.reshape(G, S * F, cfg.de_skip_channel)
 
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
-        _ae_kernel_wrapper, cfg=cfg, total=total, F=F, dtype=dtype
+        _ae_kernel_wrapper, cfg=cfg, total=total, F=F, dtype=dtype, G=G
     )
 
-    # step-0 frame offsets, twice: an SMEM [S] vector for the cheap
+    # step-0 frame offsets, twice: an SMEM [G*S] vector for the cheap
     # any-stream-crossed refresh predicate, and a lane-replicated
-    # [S, S*F] i32 tile so the per-stream frame math is pure elementwise
+    # [G*S, S*F] i32 tile so the per-stream frame math is pure elementwise
     # vector ops (no sublane/lane broadcasts in the kernel)
     off0 = pos_vec + P
-    off_lanes = jnp.broadcast_to(off0[:, None], (S, S * F)).astype(jnp.int32)
+    off_lanes = jnp.broadcast_to(off0[:, None], (S_total, S * F)).astype(jnp.int32)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(((total // 128) * S, 128), jnp.int32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 14
+        out_shape=jax.ShapeDtypeStruct(((total // 128) * S_total, 128), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 13
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((d, S, 128), dtype) for d, _ in groups]
+        scratch_shapes=[pltpu.VMEM((G * d, S, 128), dtype) for d, _ in groups]
         + [
-            pltpu.VMEM((S, cfg.n_blocks * 2 * cfg.de_dilation_channel), dtype),
-            pltpu.VMEM((S, cfg.de_skip_channel), dtype),
+            pltpu.VMEM((S_total, cfg.n_blocks * 2 * cfg.de_dilation_channel), dtype),
+            pltpu.VMEM((S_total, cfg.de_skip_channel), dtype),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(
@@ -256,20 +312,23 @@ def generate_tokens_fused(
         w["post1"], w["post2"],
         cond_fg.astype(dtype), cond_post.astype(dtype),
         off_lanes,
-        jnp.asarray(off0, jnp.int32).reshape(S),
+        jnp.asarray(off0, jnp.int32).reshape(S_total),
     )
-    toks = out.reshape(total // 128, S, 128)
-    toks = jnp.swapaxes(toks, 0, 1).reshape(S, total)[:, :n_steps]
+    toks = out.reshape(total // 128, S_total, 128)
+    toks = jnp.swapaxes(toks, 0, 1).reshape(S_total, total)[:, :n_steps]
     return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]
 
 
-def _ae_kernel_wrapper(*refs, cfg, total, F, dtype):
-    """Adapter handling the per-stream conditioning one-hot: stream s's
-    frame f lives at row s*F + f of the cond tables, so the one-hot compares
-    against ``s*F + frame`` per sublane.  The absolute-time offset of step 0
-    (pos_offset + prime_len) arrives as a dynamic SMEM scalar so chunked
-    long decodes do NOT recompile per chunk."""
-    (ring_init_ref, cur0_ref, prev0_ref, ecur_ref, eprev_ref, fgp_ref,
+def _ae_kernel_wrapper(*refs, cfg, total, F, dtype, G=1):
+    """Adapter handling the per-stream conditioning one-hot: within group
+    sg, stream s's frame f lives at row s*F + f of the group's cond table,
+    so the one-hot compares against ``s*F + frame`` per sublane.  The
+    absolute-time offset of step 0 (pos_offset + prime_len) arrives as a
+    dynamic SMEM vector so chunked long decodes do NOT recompile per
+    chunk.  ``G`` serving groups unroll the step body (one ring/cond set
+    per group; the independent chains interleave in the pipeline — the
+    scheme of kernels/wavenet_decode.py)."""
+    (ring_init_hbm, cur0_ref, prev0_ref, ecur_ref, eprev_ref, fgp_ref,
      fgc_ref, densew_ref, skipw_ref, post1_ref, post2_ref,
      condfg_ref, condpost_ref, off_lanes_ref, off_ref, out_ref,
      *scratch) = refs
@@ -282,6 +341,7 @@ def _ae_kernel_wrapper(*refs, cfg, total, F, dtype):
         cfg.quantization_channel,
     )
     S = N_STREAMS
+    S_total = G * S
     pool = cfg.en_pool_kernel_size
     groups, lane_of_layer = _grouping(cfg)
     layer_group = {}
@@ -290,96 +350,131 @@ def _ae_kernel_wrapper(*refs, cfg, total, F, dtype):
             layer_group[i] = g
     rings = scratch[: len(groups)]
     cond_fg_cur, cond_post_cur = scratch[len(groups)], scratch[len(groups) + 1]
+    boot_sem = scratch[len(groups) + 2]
     ring_base = list(np.cumsum([0] + [d for d, _ in groups[:-1]]))
 
-    for g, (d, _) in enumerate(groups):
-        rings[g][:] = ring_init_ref[ring_base[g] : ring_base[g] + d]
+    # boot the ring caches by DMA from HBM: a VMEM-resident init input the
+    # same size as the ring scratch would double-count against the 16 MB
+    # budget (CLAUDE.md Mosaic rules)
+    n_tiles = sum(d for d, _ in groups)
+    for sg in range(G):
+        for g, (d, _) in enumerate(groups):
+            boot = pltpu.make_async_copy(
+                ring_init_hbm.at[pl.ds(sg * n_tiles + ring_base[g], d)],
+                rings[g].at[pl.ds(sg * d, d)],
+                boot_sem,
+            )
+            boot.start()
+            boot.wait()
 
     q_iota = jax.lax.broadcasted_iota(jnp.int32, (S, Q), 1)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
-    # per-stream frame rows: stream s compares against s*F + frame
+    # per-stream frame rows: within a group, stream s compares s*F + frame
     sf_iota = jax.lax.broadcasted_iota(jnp.int32, (S, S * F), 1)
     stream_base = jax.lax.broadcasted_iota(jnp.int32, (S, S * F), 0) * F
 
     def refresh_cond(t):
-        # per-stream frames: off_lanes is the [S, S*F] lane-replicated
-        # step-0 clock, so every op stays elementwise on the native tile
-        frame = jnp.minimum((t + off_lanes_ref[:]) // pool, F - 1)
-        onehot = (sf_iota == stream_base + frame).astype(dtype)  # [S, S*F]
-        cond_fg_cur[:] = jnp.dot(
-            onehot, condfg_ref[:], preferred_element_type=jnp.float32
-        ).astype(dtype)
-        cond_post_cur[:] = jnp.dot(
-            onehot, condpost_ref[:], preferred_element_type=jnp.float32
-        ).astype(dtype)
+        # per-stream frames: off_lanes is the [G*S, S*F] lane-replicated
+        # step-0 clock, so every op stays elementwise on the native tile;
+        # group sg's rows are the aligned sublane block [sg*S, (sg+1)*S)
+        for sg in range(G):
+            off = off_lanes_ref[pl.ds(sg * S, S)]
+            frame = jnp.minimum((t + off) // pool, F - 1)
+            onehot = (sf_iota == stream_base + frame).astype(dtype)  # [S, S*F]
+            cond_fg_cur[pl.ds(sg * S, S)] = jnp.dot(
+                onehot, condfg_ref[sg], preferred_element_type=jnp.float32
+            ).astype(dtype)
+            cond_post_cur[pl.ds(sg * S, S)] = jnp.dot(
+                onehot, condpost_ref[sg], preferred_element_type=jnp.float32
+            ).astype(dtype)
 
     def step(t, carry):
-        prev_oh, cur_oh, out_row = carry
+        prev_oh, cur_oh, out_row = carry  # tuples of G per-group arrays
 
         # refresh when ANY stream crosses a frame boundary (streams of a
-        # serving session sit at different utterance clocks); S scalar
+        # serving session sit at different utterance clocks); G*S scalar
         # reads from SMEM per step
         crossed = (t + off_ref[0]) % pool == 0
-        for si in range(1, S):
+        for si in range(1, S_total):
             crossed = jnp.logical_or(crossed, (t + off_ref[si]) % pool == 0)
 
-        @pl.when(crossed)
+        @pl.when(jnp.logical_or(crossed, t == 0))
         def _():
             refresh_cond(t)
 
-        @pl.when(t == 0)
-        def _():
-            refresh_cond(t)
+        x = [
+            (
+                jnp.dot(cur_oh[sg], ecur_ref[:], preferred_element_type=jnp.float32)
+                + jnp.dot(prev_oh[sg], eprev_ref[:], preferred_element_type=jnp.float32)
+            ).astype(dtype)
+            for sg in range(G)
+        ]
+        cfg_rows = [cond_fg_cur[pl.ds(sg * S, S)] for sg in range(G)]
 
-        x = jnp.dot(cur_oh, ecur_ref[:], preferred_element_type=jnp.float32)
-        x = (x + jnp.dot(prev_oh, eprev_ref[:], preferred_element_type=jnp.float32)).astype(dtype)
-
-        taps = []
         slots = []
         for g, (d, layers) in enumerate(groups):
-            slot = t % d if d > 1 else 0
-            slots.append(slot)
-            taps.append(rings[g][pl.ds(slot, 1)][0])
+            slots.append(t % d if d > 1 else 0)
+        taps = [
+            [rings[g][pl.ds(sg * d + slots[g], 1)][0] for g, (d, _) in enumerate(groups)]
+            for sg in range(G)
+        ]
 
-        xs = []
-        zs = []
+        xs = [[] for _ in range(G)]
+        zs = [[] for _ in range(G)]
         for i in range(L):
-            tap = taps[layer_group[i]]
-            xs.append(x)
-            fg = jnp.dot(tap, fgp_ref[i], preferred_element_type=jnp.float32)
-            fg = fg + jnp.dot(x, fgc_ref[i], preferred_element_type=jnp.float32)
-            fg = fg + cond_fg_cur[:, i * 2 * Cd : (i + 1) * 2 * Cd]
-            # reference gate split: gate first half, filter second
-            z = (jnp.tanh(fg[:, Cd:]) * jax.nn.sigmoid(fg[:, :Cd])).astype(dtype)
-            x = (x + jnp.dot(z, densew_ref[i], preferred_element_type=jnp.float32)).astype(dtype)
-            zs.append(z)
+            for sg in range(G):
+                tap = taps[sg][layer_group[i]]
+                xs[sg].append(x[sg])
+                fg = jnp.dot(tap, fgp_ref[i], preferred_element_type=jnp.float32)
+                fg = fg + jnp.dot(x[sg], fgc_ref[i], preferred_element_type=jnp.float32)
+                fg = fg + cfg_rows[sg][:, i * 2 * Cd : (i + 1) * 2 * Cd]
+                # reference gate split: gate first half, filter second
+                z = (jnp.tanh(fg[:, Cd:]) * jax.nn.sigmoid(fg[:, :Cd])).astype(dtype)
+                x[sg] = (x[sg] + jnp.dot(z, densew_ref[i], preferred_element_type=jnp.float32)).astype(dtype)
+                zs[sg].append(z)
 
         for g, (d, layers) in enumerate(groups):
-            pieces = [xs[i] for i in layers]
             pad = 128 - len(layers) * Cr
-            if pad:
-                pieces.append(jnp.zeros((S, pad), dtype))
-            rings[g][pl.ds(slots[g], 1)] = jnp.concatenate(pieces, axis=1)[None]
+            for sg in range(G):
+                pieces = [xs[sg][i] for i in layers]
+                if pad:
+                    pieces.append(jnp.zeros((S, pad), dtype))
+                rings[g][pl.ds(sg * d + slots[g], 1)] = jnp.concatenate(
+                    pieces, axis=1
+                )[None]
 
-        z_all = jnp.concatenate(zs, axis=1)
-        h = jax.nn.relu(jnp.dot(z_all, skipw_ref[:], preferred_element_type=jnp.float32)).astype(dtype)
-        h = jnp.dot(h, post1_ref[:], preferred_element_type=jnp.float32) + cond_post_cur[:]
-        h = jax.nn.relu(h).astype(dtype)
-        logits = jnp.dot(h, post2_ref[:], preferred_element_type=jnp.float32)
+        out_row_new = []
+        next_oh = []
+        for sg in range(G):
+            z_all = jnp.concatenate(zs[sg], axis=1)
+            h = jax.nn.relu(jnp.dot(z_all, skipw_ref[:], preferred_element_type=jnp.float32)).astype(dtype)
+            h = (
+                jnp.dot(h, post1_ref[:], preferred_element_type=jnp.float32)
+                + cond_post_cur[pl.ds(sg * S, S)]
+            )
+            h = jax.nn.relu(h).astype(dtype)
+            logits = jnp.dot(h, post2_ref[:], preferred_element_type=jnp.float32)
 
-        next_tok = jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)
-        next_oh = (q_iota == next_tok).astype(dtype)
-
-        out_row = jnp.where(lane_iota == (t % 128), next_tok, out_row)
+            next_tok = jnp.argmax(logits, axis=1, keepdims=True).astype(jnp.int32)
+            next_oh.append((q_iota == next_tok).astype(dtype))
+            out_row_new.append(
+                jnp.where(lane_iota == (t % 128), next_tok, out_row[sg])
+            )
+        out_row = tuple(out_row_new)
 
         @pl.when(t % 128 == 127)
         def _():
-            base = pl.multiple_of((t // 128) * S, 8)
-            out_ref[pl.ds(base, S), :] = out_row
+            for sg in range(G):
+                base = pl.multiple_of((t // 128) * S_total + sg * S, 8)
+                out_ref[pl.ds(base, S), :] = out_row[sg]
 
-        return cur_oh, next_oh, out_row
+        return cur_oh, tuple(next_oh), out_row
 
     jax.lax.fori_loop(
         0, total, step,
-        (prev0_ref[:], cur0_ref[:], jnp.zeros((S, 128), jnp.int32)),
+        (
+            tuple(prev0_ref[pl.ds(sg * S, S)] for sg in range(G)),
+            tuple(cur0_ref[pl.ds(sg * S, S)] for sg in range(G)),
+            tuple(jnp.zeros((S, 128), jnp.int32) for _ in range(G)),
+        ),
     )

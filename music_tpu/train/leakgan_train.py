@@ -48,6 +48,12 @@ class LeakGanTrainConfig:
     grad_clip: float = 5.0
     rollout_num: int = 4
     generated_num: int = 1024
+    # opt-in stabilizer (default 1.0 = the reference's protocol,
+    # leak_gan/train.py:210-320): scale the Manager/Worker learning rate
+    # for ADVERSARIAL updates only.  Adam is gradient-scale-invariant, so
+    # taming the policy-gradient step requires an LR knob, not a loss
+    # weight; pretrain/interleaved supervision keeps the full LR.
+    adv_lr_scale: float = 1.0
     # target-LSTM oracle init: "normal" = N(0,1) for EVERY parameter
     # (leak_gan/target.py:30-32), giving oracle NLL range to move in;
     # "torch" (module defaults) yields a near-uniform oracle whose NLL is
@@ -110,6 +116,10 @@ class LeakGanTrainer:
             )
 
         self.m_tx, self.w_tx = tx(tc.m_lr), tx(tc.w_lr)
+        # adversarial-only LR scale (tc.adv_lr_scale): same transform
+        # structure, so the shared Adam state stays checkpoint-compatible
+        self.m_tx_adv = tx(tc.m_lr * tc.adv_lr_scale)
+        self.w_tx_adv = tx(tc.w_lr * tc.adv_lr_scale)
         # with tp the global-norm clip is applied manually (vma-aware);
         # optax's chained clip would compute a per-shard norm over the
         # model-sharded D leaves
@@ -378,8 +388,8 @@ class LeakGanTrainer:
 
             (total, (ml, wl)), grads = jax.value_and_grad(losses, has_aux=True)(g_params)
             (ml, wl, grads) = pmean((ml, wl, grads))
-            m_updates, m_opt = self.m_tx.update(grads["manager"], m_opt)
-            w_updates, w_opt = self.w_tx.update(grads["worker"], w_opt)
+            m_updates, m_opt = self.m_tx_adv.update(grads["manager"], m_opt)
+            w_updates, w_opt = self.w_tx_adv.update(grads["worker"], w_opt)
             new_g = {
                 "manager": optax.apply_updates(g_params["manager"], m_updates),
                 "worker": optax.apply_updates(g_params["worker"], w_updates),

@@ -65,6 +65,39 @@ def test_ae_chunked_decode_matches_single_call():
         np.testing.assert_array_equal(np.asarray(chunked), np.asarray(one))
 
 
+def test_ae_stream_groups_match_single_group():
+    """n_stream_groups=2 (16 streams, one kernel) must reproduce each
+    group's streams exactly as the G=1 kernel serves them — rings, cond
+    tables, and clocks are per-group (the WaveNet interleaved-group
+    scheme ported to the conditioned AE kernel), incl. per-stream
+    utterance clocks spanning both groups."""
+    params = ae.init_params(jax.random.PRNGKey(11), TINY)
+    need = TINY.receptive_field + max(TINY.dilations)
+    rng = np.random.default_rng(12)
+    B = 11  # partial second group — wrapper pads to 16
+    primes = jnp.asarray(rng.integers(0, 32, (B, need)), jnp.int32)
+    F = 40
+    encs = jnp.asarray(rng.normal(size=(B, F, 12)) * 0.3, jnp.float32)
+    offs = jnp.asarray((rng.integers(0, 6, B) * 32), jnp.int32)
+
+    n_steps = 150
+    together = generate_tokens_fused(
+        params, encs, primes, cfg=TINY, n_steps=n_steps,
+        pos_offset=offs, n_stream_groups=2, interpret=True,
+    )
+    assert together.shape == (B, n_steps)
+    for lo in (0, 8):
+        hi = min(lo + 8, B)
+        alone = generate_tokens_fused(
+            params, encs[lo:hi], primes[lo:hi], cfg=TINY,
+            n_steps=n_steps, pos_offset=offs[lo:hi], interpret=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(together[lo:hi]), np.asarray(alone),
+            err_msg=f"group rows {lo}:{hi}",
+        )
+
+
 def test_ae_per_stream_pos_offsets():
     """A vector pos_offset gives every stream its OWN utterance clock: a
     2-stream call with offsets (0, 96) must match two single-stream calls

@@ -57,6 +57,40 @@ def test_unsupported_config_returns_none():
     assert fused is None
 
 
+def test_ae_plan_resident_groups_and_hbm_fallback():
+    """plan_ae_serving: sub-10 MB decoders get the resident kernel with
+    interleaved stream groups (16 rows -> n_stream_groups=2); the
+    reference-size AE (12 MB f32) must keep routing to the HBM-streaming
+    kernel (wavenet_autoencoder/model1.py:256-268 scale)."""
+    import jax
+
+    from music_tpu.generate.wavenet_ae_generate import plan_ae_serving
+    from music_tpu.kernels import wavenet_ae_decode as res_k
+    from music_tpu.kernels import wavenet_ae_decode_hbm as hbm_k
+    from music_tpu.models import wavenet_ae as ae
+
+    tiny = ae.WaveNetAEConfig(
+        filter_width=2, dilations=(1, 2, 4, 8, 1, 2, 4, 8),
+        en_residual_channel=8, en_dilation_channel=8,
+        de_residual_channel=8, de_dilation_channel=8,
+        de_skip_channel=16, en_bottleneck_width=12,
+        en_pool_kernel_size=16, quantization_channel=32,
+    )
+    tiny_params = ae.init_params(jax.random.PRNGKey(0), tiny)
+    fused, rows, extra = plan_ae_serving(tiny, tiny_params, 16, jnp.float32, 2048)
+    assert fused is res_k.generate_tokens_fused
+    assert rows == 16 and extra == {"n_stream_groups": 2}
+    fused, rows, extra = plan_ae_serving(tiny, tiny_params, 6, jnp.float32, 2048)
+    assert fused is res_k.generate_tokens_fused
+    assert rows == 8 and extra == {}
+
+    full = ae.WaveNetAEConfig()  # 12 MB f32 — exceeds the resident gate
+    full_params = ae.init_params(jax.random.PRNGKey(1), full)
+    fused, rows, extra = plan_ae_serving(full, full_params, 16, jnp.float32, 4096)
+    assert fused is hbm_k.generate_tokens_fused_hbm
+    assert rows == 16 and extra.get("n_stream_groups") == 2
+
+
 def test_chunked_fused_traced_seed_under_mesh():
     """generate_batch's mesh body passes a TRACED seed into _chunked_fused
     (seed_arr[0] + axis_index); the per-chunk seed arithmetic must stay

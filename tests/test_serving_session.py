@@ -229,13 +229,17 @@ def test_session_scan_shapes_stable_across_churn(monkeypatch):
     assert shapes[0][0] == sess._rows
 
 
-def test_ae_session_plans_hbm_kernel_past_8_streams():
-    """capacity > 8 (or an over-VMEM decoder) plans the session onto the
-    HBM-streaming kernel with per-stream frame clocks (VERDICT r3 #2):
-    10 staggered-join streams through a G=2 HBM-kernel session must equal
-    each stream's uninterrupted single-call decode."""
+@pytest.mark.parametrize("kernel", ["auto", "hbm"])
+def test_ae_session_past_8_streams(kernel):
+    """capacity > 8 plans the session onto a G=2 kernel with per-stream
+    frame clocks (VERDICT r3 #2): 10 staggered-join streams must equal
+    each stream's uninterrupted single-call decode.  Both multi-group
+    kernels are covered: "auto" plans the RESIDENT kernel's interleaved
+    stream groups on this sub-10 MB decoder (round 4); kernel="hbm" pins
+    the HBM-streaming kernel (the reference-size AE's serving path)."""
     from music_tpu.generate.serving import AEDecodeSession
     from music_tpu.data.audio import mu_law_encode_np
+    from music_tpu.kernels.wavenet_ae_decode import generate_tokens_fused
     from music_tpu.kernels.wavenet_ae_decode_hbm import (
         generate_tokens_fused_hbm,
     )
@@ -255,8 +259,10 @@ def test_ae_session_plans_hbm_kernel_past_8_streams():
         for i in range(10)
     ]
 
-    sess = AEDecodeSession(cfg, params, capacity=12, steps_per_call=32)
-    assert sess._fused is generate_tokens_fused_hbm
+    sess = AEDecodeSession(cfg, params, capacity=12, steps_per_call=32,
+                           kernel=kernel)
+    ref_fn = generate_tokens_fused if kernel == "auto" else generate_tokens_fused_hbm
+    assert sess._fused is ref_fn
     assert sess._extra.get("n_stream_groups") == 2
     assert sess.capacity == 12
 
@@ -279,7 +285,7 @@ def test_ae_session_plans_hbm_kernel_past_8_streams():
     for i in (0, 5, 6, 9):
         codes = jnp.asarray(clips[i], jnp.int32)[None]
         enc = _jit_encode(cfg)(params, codes)
-        ref = generate_tokens_fused_hbm(
+        ref = ref_fn(
             params, enc, codes[:, :P], cfg=cfg, n_steps=32 * n_calls[i],
             interpret=True,
         )
