@@ -64,6 +64,10 @@ def main():
                     help="stop the adversarial phase after this many "
                          "consecutive evals without an eval-NLL "
                          "improvement (0 = run the full horizon)")
+    ap.add_argument("--adv-lr-scale", type=float, default=1.0,
+                    help="adversarial-only Manager/Worker LR scale "
+                         "(LeakGanTrainConfig.adv_lr_scale; 1.0 = the "
+                         "reference protocol)")
     ap.add_argument("--smoke", action="store_true",
                     help="2/2/4 epochs on 256 rows — wiring check")
     ap.add_argument("--cpu", action="store_true",
@@ -99,7 +103,8 @@ def main():
     vocab = int(max(train.max(), evals.max())) + 1  # 5259 — see module docstring
 
     cfg = lg.LeakGanConfig(vocab_size=vocab)  # all other leak_gan_params defaults
-    tc = LeakGanTrainConfig(cfg=cfg)          # lrs/decay per train_params.json
+    tc = LeakGanTrainConfig(cfg=cfg, adv_lr_scale=args.adv_lr_scale)
+    # ^ lrs/decay per train_params.json; adv_lr_scale opt-in (round 4)
     tr = LeakGanTrainer(tc, seed=233)         # train_params.json seed
 
     def write_poems(name, n=64):
@@ -191,6 +196,7 @@ def main():
         "final_eval_nll": traj["adv"][-1]["eval_nll"] if traj["adv"] else None,
         "schedule": f"{args.pre_g}/{args.pre_d}/{args.adv}",
         "interleave_supervision": args.interleave,
+        "adv_lr_scale": args.adv_lr_scale,
         "early_stop": args.early_stop,
         "stopped_early_at": stopped_early,
         "wall_s": round(time.time() - t0, 1),

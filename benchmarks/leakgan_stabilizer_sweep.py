@@ -31,11 +31,20 @@ from benchmarks.leakgan_quality_run import load_real_corpus
 
 
 VARIANTS = [
-    # (name, interleave, adv_lr_scale)
-    ("reference", 0, 1.0),
-    ("interleave1", 1, 1.0),
-    ("advlr0.1", 0, 0.1),
-    ("interleave1+advlr0.1", 1, 0.1),
+    # (name, interleave, adv_lr_scale, d_steps)
+    ("reference", 0, 1.0, 5),
+    ("interleave1", 1, 1.0, 5),
+    ("advlr0.1", 0, 0.1, 5),
+    ("interleave1+advlr0.1", 1, 0.1, 5),
+    # refinement round (sweep 1 findings: interleave overfits — the extra
+    # supervision epochs past the pretrain plateau cost ~0.2 nats; small
+    # adv LR keeps the epoch-1 gain and drifts only slowly):
+    ("advlr0.03", 0, 0.03, 5),
+    ("advlr0.3", 0, 0.3, 5),
+    # drift attribution: does the slow rise under advlr0.1 come from G
+    # updates or from the 15 D epochs/adv-epoch moving the leaked
+    # features under the generator?
+    ("advlr0.1+noD", 0, 0.1, 0),
 ]
 
 
@@ -62,7 +71,7 @@ def main():
     ]
     results = {}
     pre_nll = None
-    for name, interleave, adv_scale in picked:
+    for name, interleave, adv_scale, d_steps in picked:
         cfg = lg.LeakGanConfig(vocab_size=vocab)
         tc = LeakGanTrainConfig(cfg=cfg, adv_lr_scale=adv_scale)
         tr = LeakGanTrainer(tc, seed=233)
@@ -80,7 +89,7 @@ def main():
         best = float("inf")
         for ep in range(1, args.epochs + 1):
             tr.adversarial_epoch(
-                train, d_steps=5, d_epochs=3,
+                train, d_steps=d_steps, d_epochs=3,
                 interleave_supervision=interleave,
             )
             if ep % args.eval_every == 0 or ep == 1:
@@ -92,6 +101,7 @@ def main():
         results[name] = {
             "interleave": interleave,
             "adv_lr_scale": adv_scale,
+            "d_steps": d_steps,
             "best_eval_nll": round(best, 4),
             "final_eval_nll": traj[-1]["eval_nll"],
             "delta_vs_pretrain": round(best - pre_nll, 4),
