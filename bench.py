@@ -339,6 +339,68 @@ def _run_benchmarks(out):
     except Exception as e:
         print(f"# request serving mode failed: {e}", file=sys.stderr)
 
+    # AE serving: the REFERENCE-SIZE autoencoder (12 MB f32 —
+    # wavenet_autoencoder/model1.py:256-268) reconstructing 16 concurrent
+    # streams through the HBM-streaming conditioned kernel with
+    # per-stream frame clocks (the AEDecodeSession executable shape, so
+    # the relay compile cache is warm after a validation run).
+    try:
+        if _elapsed() < TIME_BUDGET_S - 120:
+            from music_tpu.generate.wavenet_ae_generate import (
+                frame_window_width,
+            )
+            from music_tpu.kernels.wavenet_ae_decode_hbm import (
+                generate_tokens_fused_hbm as ae_hbm,
+            )
+            from music_tpu.models import wavenet_ae as wae
+
+            ae_cfg = wae.WaveNetAEConfig()
+            ae_p = wae.init_params(jax.random.PRNGKey(2), ae_cfg)
+            ae_mb = sum(
+                int(np.prod(v.shape)) * 4
+                for v in jax.tree_util.tree_leaves(ae_p)
+            ) / 1e6
+            Pa = ae_cfg.receptive_field + max(ae_cfg.dilations)
+            ks = 4096
+            Fa = frame_window_width(Pa, ks, ae_cfg.en_pool_kernel_size)
+
+            def ae_run(seed):
+                key = jax.random.PRNGKey(seed)
+                enc = 0.3 * jax.random.normal(
+                    key, (16, Fa, ae_cfg.en_bottleneck_width), jnp.float32
+                )
+                prime = jax.random.randint(
+                    key, (16, Pa), 0, ae_cfg.quantization_channel
+                )
+                return np.asarray(ae_hbm(
+                    ae_p, enc, prime, cfg=ae_cfg, n_steps=ks,
+                    n_stream_groups=2,
+                    pos_offset=jnp.zeros(16, jnp.int32),
+                ))
+
+            nonce = int(time.time() * 1000) % 2**31
+            ae_run(nonce)      # compile
+            ae_run(nonce + 1)  # second call can also pay a multi-second cost
+            dts = []
+            for i in (2, 3):
+                t0 = time.perf_counter()
+                ae_run(nonce + i)
+                dts.append(time.perf_counter() - t0)
+            best, worst = min(dts), max(dts)
+            out["ae_serving"] = {
+                "kernel_mode": "ae-hbm f32x8xG2 per-stream-clocks",
+                "weights_mb_f32": round(ae_mb, 1),
+                "streams": 16,
+                "total_samples_per_sec": round(ks * 16 / best, 1),
+                "total_samples_per_sec_range": [
+                    round(ks * 16 / worst, 1), round(ks * 16 / best, 1),
+                ],
+            }
+            print(f"# ae serving: {ks * 16 / best:.0f}/s total "
+                  f"({ae_mb:.1f} MB)", file=sys.stderr)
+    except Exception as e:
+        print(f"# ae serving mode failed: {e}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

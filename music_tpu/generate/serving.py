@@ -36,6 +36,40 @@ from music_tpu.models import wavenet as wn
 from music_tpu.ops.mulaw import mu_law_decode
 
 
+def _partition_host_rows(rows: int, capacity: int, nproc: int) -> tuple[int, int]:
+    """Partition a session's global kernel rows by host: returns
+    ``(host_rows, host_capacity)`` for THIS process.  Host capacities sum
+    to exactly ``capacity`` across the cluster (remainder spread over the
+    first processes), so an explicit admission bound is never exceeded
+    cluster-wide."""
+    if rows % nproc:
+        raise ValueError(
+            f"{rows} kernel rows not divisible by {nproc} processes"
+        )
+    host_rows = rows // nproc
+    pid = jax.process_index()
+    host_cap = capacity // nproc + (1 if pid < capacity % nproc else 0)
+    return host_rows, min(host_rows, host_cap)
+
+
+def _put_host_rows(mesh, x: np.ndarray, global_rows: int, spec):
+    """Assemble this host's row block into the data-sharded global array
+    (the multihost.put_global_batch transport, session form)."""
+    from jax.sharding import NamedSharding
+
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), x, global_shape=(global_rows,) + x.shape[1:]
+    )
+
+
+def _gather_host_rows(out_g) -> np.ndarray:
+    """This host's rows of a data-sharded result, in global row order."""
+    shards = sorted(
+        out_g.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 class DecodeSession:
     """Serve WaveNet decode streams that join and leave over time.
 
@@ -145,17 +179,10 @@ class DecodeSession:
         )
         self._nproc = jax.process_count() if mesh is not None else 1
         if self._nproc > 1:
-            if self._rows % self._nproc:
-                raise ValueError(
-                    f"{self._rows} kernel rows not divisible by "
-                    f"{self._nproc} processes"
-                )
-            self._host_rows = self._rows // self._nproc
             # per-host admission bound (the global row space is
             # partitioned by host; see the class docstring)
-            self.capacity = min(
-                self._host_rows,
-                -(-self.capacity // self._nproc),
+            self._host_rows, self.capacity = _partition_host_rows(
+                self._rows, self.capacity, self._nproc
             )
         else:
             self._host_rows = self._rows
@@ -250,20 +277,14 @@ class DecodeSession:
 
         k = self.steps_per_call
         if multiproc:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
-            sharding = NamedSharding(self._mesh, P("data", None))
-            rows_g = jax.make_array_from_process_local_data(
-                sharding, rows, global_shape=(self._rows, rows.shape[1])
-            )
             out_g = self._sharded(
-                self.params, rows_g, jnp.asarray([self._seed], jnp.int32)
+                self.params,
+                _put_host_rows(self._mesh, rows, self._rows, P("data", None)),
+                jnp.asarray([self._seed], jnp.int32),
             )
-            # this host's rows back out of the sharded result, in row order
-            shards = sorted(
-                out_g.addressable_shards, key=lambda s: s.index[0].start or 0
-            )
-            out = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+            out = _gather_host_rows(out_g)
         elif self._sharded is not None:
             rows = jnp.asarray(rows)
             out = self._sharded(
@@ -414,16 +435,10 @@ class AEDecodeSession:
         self.capacity = min(want, self._rows) if capacity else self._rows
         self._nproc = jax.process_count() if mesh is not None else 1
         if self._nproc > 1:
-            if self._rows % self._nproc:
-                raise ValueError(
-                    f"{self._rows} kernel rows not divisible by "
-                    f"{self._nproc} processes"
-                )
-            self._host_rows = self._rows // self._nproc
             # per-host admission bound (global row space partitioned by
             # host; see the class docstring)
-            self.capacity = min(
-                self._host_rows, -(-self.capacity // self._nproc)
+            self._host_rows, self.capacity = _partition_host_rows(
+                self._rows, self.capacity, self._nproc
             )
         else:
             self._host_rows = self._rows
@@ -571,25 +586,15 @@ class AEDecodeSession:
 
         k = self.steps_per_call
         if multiproc:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            def _put(x, spec):
-                return jax.make_array_from_process_local_data(
-                    NamedSharding(self._mesh, spec), x,
-                    global_shape=(self._rows,) + x.shape[1:],
-                )
+            from jax.sharding import PartitionSpec as P
 
             out_g = self._sharded(
                 self.params,
-                _put(wins_a, P("data", None, None)),
-                _put(rows_a, P("data", None)),
-                _put(offs_a, P("data")),
+                _put_host_rows(self._mesh, wins_a, self._rows, P("data", None, None)),
+                _put_host_rows(self._mesh, rows_a, self._rows, P("data", None)),
+                _put_host_rows(self._mesh, offs_a, self._rows, P("data")),
             )
-            # this host's rows back out of the sharded result, in row order
-            shards = sorted(
-                out_g.addressable_shards, key=lambda s: s.index[0].start or 0
-            )
-            out = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+            out = _gather_host_rows(out_g)
         elif self._sharded is not None:
             out = self._sharded(
                 self.params, jnp.asarray(wins_a), jnp.asarray(rows_a),

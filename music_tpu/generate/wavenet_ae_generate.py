@@ -262,7 +262,6 @@ def generate_batch(
     devices decoded).  Axes other than ``data`` must have size 1.
     """
     from music_tpu.kernels import wavenet_ae_decode as res_k
-    from music_tpu.kernels import wavenet_ae_decode_hbm as hbm_k
     from music_tpu.generate.wavenet_generate import STEPS_PER_CALL
 
     if params is None:
@@ -290,8 +289,6 @@ def generate_batch(
         from jax import shard_map
         from jax.sharding import NamedSharding, PartitionSpec as P_
 
-        from music_tpu.generate.wavenet_generate import STEPS_PER_CALL
-        from music_tpu.kernels import wavenet_ae_decode as res_k
         from music_tpu.parallel import multihost
 
         if int(np.prod([s for a, s in mesh.shape.items() if a != "data"])) != 1:
@@ -299,9 +296,10 @@ def generate_batch(
         multiproc = jax.process_count() > 1
         per_dev = -(-n // D)
         fused_fn, rows_planned, extra = None, per_dev, {}
+        call_steps = min(n_steps, STEPS_PER_CALL)
         if on_tpu and tokens.shape[1] >= fused_min:
             fused_fn, rows_planned, extra = plan_ae_serving(
-                cfg, params, per_dev, dtype, min(n_steps, STEPS_PER_CALL)
+                cfg, params, per_dev, dtype, call_steps
             )
         per_call = D * rows_planned
         ctx_len = fused_min if fused_fn is not None else min(
@@ -312,12 +310,14 @@ def generate_batch(
 
         def body(p, enc_l, ctx_l):
             # one device's rows; the chunk loop (tail re-prime +
-            # pos_offset frame clock) traces inline — one executable
+            # pos_offset frame clock) traces inline — one executable.
+            # step_chunk must equal the plan's call_steps: the resident
+            # kernel's cond-table VMEM was budgeted for that window
             if fused_fn is not None:
                 return _chunked_ae_fused(
                     fused_fn, p, enc_l, ctx_l, cfg=cfg, n_steps=n_steps,
                     slice_frames=fused_fn is res_k.generate_tokens_fused,
-                    dtype=dtype, **extra,
+                    step_chunk=call_steps, dtype=dtype, **extra,
                 )
             return ae.generate_tokens(
                 p, enc_l, ctx_l, jax.random.PRNGKey(0), cfg=cfg,
@@ -372,66 +372,36 @@ def generate_batch(
             out_codes = jnp.concatenate(parts, axis=0)[:n]
     elif on_tpu and tokens.shape[1] >= fused_min:
         call_steps = min(n_steps, STEPS_PER_CALL)
-        weight_bytes = sum(
-            int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(params)
-        )
         prime = tokens[:, :fused_min]
-        if weight_bytes < 10e6:
-            try:
-                Fc = frame_window_width(
-                    fused_min, call_steps, cfg.en_pool_kernel_size
+        try:
+            fused_fn, per_call_rows, extra = plan_ae_serving(
+                cfg, params, n, dtype, call_steps
+            )
+            slice_f = fused_fn is res_k.generate_tokens_fused
+            parts = []
+            for lo in range(0, n, per_call_rows):
+                rows = prime[lo : lo + per_call_rows]
+                enc = encoding[lo : lo + per_call_rows]
+                kw = dict(extra)
+                if kw.get("n_stream_groups", 1) > 1:
+                    # a partial last chunk launches fewer groups
+                    kw["n_stream_groups"] = -(-rows.shape[0] // res_k.N_STREAMS)
+                # kernel kwargs ride through to jit_fused's static key —
+                # a fresh functools.partial here would defeat its cache
+                # and recompile every request.  step_chunk == the plan's
+                # call_steps (the resident cond-table VMEM budget)
+                parts.append(
+                    _chunked_ae_fused(
+                        fused_fn, params, enc, rows, cfg=cfg,
+                        n_steps=n_steps, slice_frames=slice_f,
+                        step_chunk=call_steps, dtype=dtype, **kw,
+                    )
                 )
-                res_g = res_k.max_stream_groups(
-                    cfg, dtype, n_steps=call_steps, n_frames=Fc
-                )
-                G_need = -(-n // res_k.N_STREAMS)
-                if res_g >= max(G_need, 1):
-                    out_codes = _chunked_ae_fused(
-                        res_k.generate_tokens_fused, params, encoding, prime,
-                        cfg=cfg, n_steps=n_steps, dtype=dtype,
-                        **({"n_stream_groups": G_need} if G_need > 1 else {}),
-                    )
-            except NotImplementedError:
-                out_codes = None  # resident rejects — try HBM below
-        if out_codes is None:
-            try:
-                G_need = -(-n // res_k.N_STREAMS)
-                g_cap = hbm_k.max_stream_groups(cfg, dtype, n_steps=call_steps)
-                extra = {}
-                if G_need > g_cap:
-                    g_rings = hbm_k.max_stream_groups_hbm_rings(
-                        cfg, dtype, n_steps=call_steps
-                    )
-                    if g_rings > g_cap:
-                        extra = {"rings_in_hbm": True}
-                        g_cap = g_rings
-                if g_cap < 1:
-                    raise NotImplementedError(
-                        "no HBM serving group fits VMEM for this config"
-                    )
-                per_call_rows = res_k.N_STREAMS * g_cap
-                parts = []
-                for lo in range(0, n, per_call_rows):
-                    rows = prime[lo : lo + per_call_rows]
-                    enc = encoding[lo : lo + per_call_rows]
-                    # kernel kwargs ride through to jit_fused's static key —
-                    # a fresh functools.partial here would defeat its cache
-                    # and recompile every request
-                    parts.append(
-                        _chunked_ae_fused(
-                            hbm_k.generate_tokens_fused_hbm,
-                            params, enc, rows, cfg=cfg, n_steps=n_steps,
-                            slice_frames=False,  # HBM kernel streams its tables
-                            n_stream_groups=-(-rows.shape[0] // res_k.N_STREAMS),
-                            dtype=dtype, **extra,
-                        )
-                    )
-                out_codes = jnp.concatenate(parts, axis=0)
-            except NotImplementedError:
-                # the HBM kernel also rejects this config (lane/row
-                # constraints, filter width, VMEM) — the batched scan
-                # path below serves it
-                out_codes = None
+            out_codes = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        except NotImplementedError:
+            # no fused kernel fits this config (lane/row constraints,
+            # filter width, VMEM) — the batched scan path below serves it
+            out_codes = None
     if out_codes is None:
         keys = jax.random.PRNGKey(0)
         out_codes = ae.generate_tokens(

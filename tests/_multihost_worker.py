@@ -122,6 +122,16 @@ def main(pid: int, nproc: int, port: int) -> None:
         mine[1].append(out[b])
     else:
         mine[3] = [out[b]]
+    # empty-host lockstep: host 1 finishes everything but must still
+    # launch (silence rows) while host 0's streams keep decoding
+    if pid == 1:
+        sess.finish(b)
+    out = sess.step()
+    if pid == 0:
+        mine[0].append(out[a])
+        mine[1].append(out[b])
+    else:
+        assert out == {}, sorted(out)
     for i, chunks in sorted(mine.items()):
         toks = np.concatenate(chunks)
         print(f"MHSESSION {i} " + ",".join(str(int(t)) for t in toks),
@@ -188,6 +198,16 @@ def main(pid: int, nproc: int, port: int) -> None:
         ae_mine[1].append(out[b])
     else:
         ae_mine[3] = [out[b]]
+    # empty-host lockstep: host 1 finishes everything but must still
+    # launch (silence rows) while host 0's streams keep decoding
+    if pid == 1:
+        ae_sess.finish(b)
+    out = ae_sess.step()
+    if pid == 0:
+        ae_mine[0].append(out[a])
+        ae_mine[1].append(out[b])
+    else:
+        assert out == {}, sorted(out)
     for i, chunks in sorted(ae_mine.items()):
         toks = np.concatenate(chunks)
         print(f"MHAESESSION {i} " + ",".join(str(int(t)) for t in toks),

@@ -162,6 +162,10 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     b1 = ref_sess.add(sess_primes[3]); ref_sess.finish(a1)
     out = ref_sess.step()
     want[0].append(out[a0]); want[1].append(out[b0]); want[3] = [out[b1]]
+    # 4th lockstep step: host 1's row block is empty in the cluster run
+    ref_sess.finish(b1)
+    out = ref_sess.step()
+    want[0].append(out[a0]); want[1].append(out[b0])
 
     got = {}
     for out_text in outs:
@@ -231,6 +235,11 @@ def test_two_process_cluster_matches_single_process(tmp_path):
     b1 = ae_ref_sess.add(ae_clips[3]); ae_ref_sess.finish(a1)
     out = ae_ref_sess.step()
     ae_want[0].append(out[a0]); ae_want[1].append(out[b0]); ae_want[3] = [out[b1]]
+    # 4th lockstep step: host 1's row block is empty in the cluster run
+    # (silence rows) while host 0's streams keep decoding
+    ae_ref_sess.finish(b1)
+    out = ae_ref_sess.step()
+    ae_want[0].append(out[a0]); ae_want[1].append(out[b0])
 
     ae_got = {}
     for out_text in outs:
