@@ -417,7 +417,9 @@ class AEDecodeSession:
         self.cfg, self.params = cfg, params
         self.dtype = dtype
         self.steps_per_call = int(steps_per_call)
-        self._S = res_k.N_STREAMS
+        # native sublane tile height (16 bf16 / 8 f32) — must mirror
+        # plan_ae_serving's choice, which the plan's extra also reports
+        self._S = 16 if jnp.dtype(dtype) == jnp.bfloat16 else res_k.N_STREAMS
         self._mesh = mesh
         D = mesh.shape.get("data", 1) if mesh is not None else 1
         want = self._S * D if capacity is None else int(capacity)

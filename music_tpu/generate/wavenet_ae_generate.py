@@ -53,7 +53,11 @@ def plan_ae_serving(cfg, params, n_rows: int, dtype, call_steps: int,
 
     if kernel not in ("auto", "hbm"):
         raise ValueError(f"kernel must be 'auto' or 'hbm', got {kernel!r}")
-    S = res_k.N_STREAMS
+    # native sublane tile height: 16 rows bf16 / 8 rows f32 — bf16 packs
+    # 2x the streams per tile AND halves the streamed-weight bytes (the
+    # same tiling rule as the WaveNet kernels, CLAUDE.md Mosaic notes)
+    S = 16 if jnp.dtype(dtype) == jnp.bfloat16 else res_k.N_STREAMS
+    base = {"n_streams": S} if S != res_k.N_STREAMS else {}
     G_need = -(-n_rows // S)
     weight_bytes = sum(
         int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(params)
@@ -66,21 +70,23 @@ def plan_ae_serving(cfg, params, n_rows: int, dtype, call_steps: int,
                 cfg.en_pool_kernel_size,
             )
             res_g = res_k.max_stream_groups(
-                cfg, dtype, n_steps=call_steps, n_frames=Fc
+                cfg, dtype, n_steps=call_steps, n_frames=Fc, n_streams=S
             )
             if res_g >= max(G_need, 1):
-                extra = {"n_stream_groups": G_need} if G_need > 1 else {}
+                extra = dict(base)
+                if G_need > 1:
+                    extra["n_stream_groups"] = G_need
                 return res_k.generate_tokens_fused, max(G_need, 1) * S, extra
         except NotImplementedError:
             pass
-    extra = {}
-    g_cap = hbm_k.max_stream_groups(cfg, dtype, n_steps=call_steps)
+    extra = dict(base)
+    g_cap = hbm_k.max_stream_groups(cfg, dtype, n_steps=call_steps, n_streams=S)
     if G_need > g_cap:
         g_rings = hbm_k.max_stream_groups_hbm_rings(
-            cfg, dtype, n_steps=call_steps
+            cfg, dtype, n_steps=call_steps, n_streams=S
         )
         if g_rings > g_cap:
-            extra = {"rings_in_hbm": True}
+            extra["rings_in_hbm"] = True
             g_cap = g_rings
     if g_cap < 1:
         raise NotImplementedError(
@@ -385,7 +391,8 @@ def generate_batch(
                 kw = dict(extra)
                 if kw.get("n_stream_groups", 1) > 1:
                     # a partial last chunk launches fewer groups
-                    kw["n_stream_groups"] = -(-rows.shape[0] // res_k.N_STREAMS)
+                    S_pl = extra.get("n_streams", res_k.N_STREAMS)
+                    kw["n_stream_groups"] = -(-rows.shape[0] // S_pl)
                 # kernel kwargs ride through to jit_fused's static key —
                 # a fresh functools.partial here would defeat its cache
                 # and recompile every request.  step_chunk == the plan's

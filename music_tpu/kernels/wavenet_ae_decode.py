@@ -46,6 +46,7 @@ def max_stream_groups(
     vmem_budget: int = 14 * 1024 * 1024,
     n_steps: int = 0,
     n_frames: int = 0,
+    n_streams: int = N_STREAMS,
 ) -> int:
     """Serving groups that fit VMEM next to the resident weights — the AE
     analog of :func:`kernels.wavenet_decode.max_stream_groups`.
@@ -56,7 +57,7 @@ def max_stream_groups(
     ``n_steps``-step call.  Shared: the repacked weights.  Returns 0 when
     the weights alone don't fit (use the HBM-streaming kernel)."""
     itemsize = jnp.dtype(dtype).itemsize
-    S = N_STREAMS
+    S = n_streams
     L, Cr, Cd, Cs, Q = (
         cfg.n_blocks, cfg.de_residual_channel, cfg.de_dilation_channel,
         cfg.de_skip_channel, cfg.quantization_channel,
@@ -210,7 +211,7 @@ def _collect_prime_state(params: dict, prime: jax.Array, encoding: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "n_steps", "interpret", "dtype", "n_stream_groups"))
+    "cfg", "n_steps", "interpret", "dtype", "n_stream_groups", "n_streams"))
 def generate_tokens_fused(
     params: dict,
     encoding: jax.Array,
@@ -222,6 +223,7 @@ def generate_tokens_fused(
     dtype=jnp.float32,
     pos_offset=0,
     n_stream_groups: int = 1,
+    n_streams: int = N_STREAMS,
 ) -> jax.Array:
     """Conditioned fused decode: ``n_steps`` codes per stream after priming.
 
@@ -244,7 +246,7 @@ def generate_tokens_fused(
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
     B, P = prime.shape
-    S = N_STREAMS
+    S = n_streams  # 8 (f32) / 16 (bf16): the native sublane tile heights
     G = n_stream_groups
     S_total = G * S
     if B > S_total:
@@ -283,7 +285,7 @@ def generate_tokens_fused(
 
     total = _round_up(n_steps, 128)
     kernel = functools.partial(
-        _ae_kernel_wrapper, cfg=cfg, total=total, F=F, dtype=dtype, G=G
+        _ae_kernel_wrapper, cfg=cfg, total=total, F=F, dtype=dtype, G=G, S=S
     )
 
     # step-0 frame offsets, twice: an SMEM [G*S] vector for the cheap
@@ -319,7 +321,7 @@ def generate_tokens_fused(
     return jnp.concatenate([s0[:, None], toks[:, : n_steps - 1]], axis=1)[:B]
 
 
-def _ae_kernel_wrapper(*refs, cfg, total, F, dtype, G=1):
+def _ae_kernel_wrapper(*refs, cfg, total, F, dtype, G=1, S=N_STREAMS):
     """Adapter handling the per-stream conditioning one-hot: within group
     sg, stream s's frame f lives at row s*F + f of the group's cond table,
     so the one-hot compares against ``s*F + frame`` per sublane.  The
@@ -340,7 +342,6 @@ def _ae_kernel_wrapper(*refs, cfg, total, F, dtype, G=1):
         cfg.de_skip_channel,
         cfg.quantization_channel,
     )
-    S = N_STREAMS
     S_total = G * S
     pool = cfg.en_pool_kernel_size
     groups, lane_of_layer = _grouping(cfg)

@@ -61,8 +61,8 @@ def _shared_buf_bytes(cfg: WaveNetAEConfig, itemsize: int) -> int:
 
 
 def _per_group_cond_out_bytes(cfg: WaveNetAEConfig, itemsize: int,
-                              n_steps: int) -> int:
-    S = N_STREAMS
+                              n_steps: int, n_streams: int = N_STREAMS) -> int:
+    S = n_streams
     Cd, Cs = cfg.de_dilation_channel, cfg.de_skip_channel
     # cur + nxt frame rows: per-stream-clock callers double-buffer the
     # conditioning staging (charged unconditionally — scalar callers get
@@ -77,17 +77,18 @@ def max_stream_groups(
     dtype=jnp.float32,
     vmem_budget: int = 14 * 1024 * 1024,
     n_steps: int = 0,
+    n_streams: int = N_STREAMS,
 ) -> int:
-    """Serving groups (8 streams each) that fit VMEM for the conditioned
-    HBM-streaming kernel: per group one ring-cache set + the current-frame
-    conditioning rows + the int32 token output tile (pass the per-CALL
-    step count; chunk long decodes).  Mirrors
+    """Serving groups (``n_streams`` each — 8 f32 / 16 bf16) that fit VMEM
+    for the conditioned HBM-streaming kernel: per group one ring-cache set
+    + the current-frame conditioning rows + the int32 token output tile
+    (pass the per-CALL step count; chunk long decodes).  Mirrors
     kernels.wavenet_decode_hbm.max_stream_groups."""
     itemsize = jnp.dtype(dtype).itemsize
     W = _row_lanes(cfg)
     distinct = sorted({d for d in cfg.dilations})
-    per_group = sum(distinct) * N_STREAMS * W * itemsize
-    per_group += _per_group_cond_out_bytes(cfg, itemsize, n_steps)
+    per_group = sum(distinct) * n_streams * W * itemsize
+    per_group += _per_group_cond_out_bytes(cfg, itemsize, n_steps, n_streams)
     return max(0, (vmem_budget - _shared_buf_bytes(cfg, itemsize)) // per_group)
 
 
@@ -97,6 +98,7 @@ def max_stream_groups_hbm_rings(
     min_dilation: int = 32,
     vmem_budget: int = 12 * 1024 * 1024,
     n_steps: int = 0,
+    n_streams: int = N_STREAMS,
 ) -> int:
     """Group cap with ``rings_in_hbm=True``: only the small-dilation rings,
     the per-HBM-group tap/write staging pairs, the conditioning rows and
@@ -106,8 +108,8 @@ def max_stream_groups_hbm_rings(
     distinct = sorted({d for d in cfg.dilations})
     small = [d for d in distinct if d < min_dilation]
     n_hbm = len(distinct) - len(small)
-    per_group = (sum(small) + 4 * n_hbm) * N_STREAMS * W * itemsize
-    per_group += _per_group_cond_out_bytes(cfg, itemsize, n_steps)
+    per_group = (sum(small) + 4 * n_hbm) * n_streams * W * itemsize
+    per_group += _per_group_cond_out_bytes(cfg, itemsize, n_steps, n_streams)
     return max(
         0,
         (vmem_budget - _shared_buf_bytes(cfg, itemsize)) // max(per_group, 1),
@@ -143,6 +145,7 @@ def _ae_kernel_hbm(
     dtype,
     hbm_ring_min_dilation: int = 0,
     per_stream_pos: bool = False,
+    n_streams: int = N_STREAMS,
 ):
     hbm_rings = hbm_ring_min_dilation > 0
     rest = list(rest)
@@ -160,7 +163,7 @@ def _ae_kernel_hbm(
         cfg.de_skip_channel,
         cfg.quantization_channel,
     )
-    S = N_STREAMS
+    S = n_streams  # 8 (f32) / 16 (bf16): the native sublane tile heights
     G = n_stream_groups  # independent serving groups sharing the weight +
     # conditioning stream (see kernels/wavenet_decode_hbm.py)
     NB = 4
@@ -522,7 +525,7 @@ def _build_hbm_weights(params: dict, cfg: WaveNetAEConfig, dtype):
     jax.jit,
     static_argnames=(
         "cfg", "n_steps", "interpret", "dtype", "n_stream_groups",
-        "rings_in_hbm", "hbm_ring_min_dilation",
+        "rings_in_hbm", "hbm_ring_min_dilation", "n_streams",
     ),
 )
 def generate_tokens_fused_hbm(
@@ -538,13 +541,15 @@ def generate_tokens_fused_hbm(
     rings_in_hbm: bool = False,
     hbm_ring_min_dilation: int = 32,
     pos_offset=0,
+    n_streams: int = N_STREAMS,
 ) -> jax.Array:
     """Conditioned decode with HBM-resident weights + conditioning tables —
     same contract as :func:`kernels.wavenet_ae_decode.generate_tokens_fused`
     but with no VMEM ceiling on model size or generation length.
 
-    ``n_stream_groups=G`` serves ``G * 8`` independent utterances from one
-    kernel; the weight + conditioning stream is shared across groups (see
+    ``n_stream_groups=G`` serves ``G * n_streams`` independent utterances
+    (``n_streams``: 8 f32 / 16 bf16 — the native sublane tile heights) from
+    one kernel; the weight + conditioning stream is shared across groups (see
     kernels/wavenet_decode_hbm.py).  ``rings_in_hbm=True`` additionally
     moves the large-dilation ring slots to HBM state with one-step-ahead
     tap prefetch — the serving-group cap stops being VMEM-ring-bound
@@ -572,7 +577,7 @@ def generate_tokens_fused_hbm(
         )
     B, P = prime.shape
     G = n_stream_groups
-    S = N_STREAMS
+    S = n_streams
     S_total = G * S
     if B > S_total:
         raise ValueError(f"at most {S_total} streams, got {B}")
@@ -648,7 +653,7 @@ def generate_tokens_fused_hbm(
     kernel = functools.partial(
         _ae_kernel_hbm, cfg=cfg, total=total, F=F,
         n_stream_groups=G, dtype=dtype, hbm_ring_min_dilation=hbm_min_d,
-        per_stream_pos=per_stream_pos,
+        per_stream_pos=per_stream_pos, n_streams=S,
     )
     Cr, Cs, Q = cfg.de_residual_channel, cfg.de_skip_channel, cfg.quantization_channel
 

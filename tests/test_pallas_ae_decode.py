@@ -98,6 +98,32 @@ def test_ae_stream_groups_match_single_group():
         )
 
 
+def test_ae_bf16_16_stream_mode():
+    """The (n_streams=16, bf16) mode — 2x sublane occupancy, the WaveNet
+    kernels' bf16 tiling rule ported to the conditioned kernel.  Streams
+    are independent rows, so a 3-stream call must reproduce the first 3
+    rows of a 16-stream call with identical inputs (same program, same
+    bf16 rounding per row); exactness vs f32 is not expected."""
+    params = ae.init_params(jax.random.PRNGKey(21), TINY)
+    need = TINY.receptive_field + max(TINY.dilations)
+    rng = np.random.default_rng(22)
+    primes = jnp.asarray(rng.integers(0, 32, (16, need)), jnp.int32)
+    F = 30
+    encs = jnp.asarray(rng.normal(size=(16, F, 12)) * 0.3, jnp.float32)
+    offs = jnp.asarray((rng.integers(0, 4, 16) * 16), jnp.int32)
+
+    full = generate_tokens_fused(
+        params, encs, primes, cfg=TINY, n_steps=80,
+        pos_offset=offs, n_streams=16, dtype=jnp.bfloat16, interpret=True,
+    )
+    assert full.shape == (16, 80)
+    part = generate_tokens_fused(
+        params, encs[:3], primes[:3], cfg=TINY, n_steps=80,
+        pos_offset=offs[:3], n_streams=16, dtype=jnp.bfloat16, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(part), np.asarray(full[:3]))
+
+
 def test_ae_per_stream_pos_offsets():
     """A vector pos_offset gives every stream its OWN utterance clock: a
     2-stream call with offsets (0, 96) must match two single-stream calls

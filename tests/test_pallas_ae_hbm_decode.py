@@ -174,3 +174,29 @@ def test_ae_hbm_per_stream_pos_offsets():
                 np.asarray(together[i]), np.asarray(alone[0]),
                 err_msg=f"stream {i} extra={extra}",
             )
+
+
+def test_ae_hbm_bf16_16_stream_mode():
+    """(n_streams=16, bf16) on the HBM-streaming conditioned kernel —
+    half the streamed-weight bytes per decoded sample AND 2x sublane
+    occupancy.  Row independence: a 5-stream call reproduces the first 5
+    rows of a 16-stream call with identical inputs (same program, same
+    bf16 rounding per row), incl. per-stream utterance clocks."""
+    params = ae.init_params(jax.random.PRNGKey(31), TINY)
+    need = TINY.receptive_field + max(TINY.dilations)
+    rng = np.random.default_rng(32)
+    primes = jnp.asarray(rng.integers(0, 32, (16, need)), jnp.int32)
+    F = 30
+    encs = jnp.asarray(rng.normal(size=(16, F, 12)) * 0.3, jnp.float32)
+    offs = jnp.asarray((rng.integers(0, 4, 16) * 16 + 3), jnp.int32)
+
+    full = generate_tokens_fused_hbm(
+        params, encs, primes, cfg=TINY, n_steps=64,
+        pos_offset=offs, n_streams=16, dtype=jnp.bfloat16, interpret=True,
+    )
+    assert full.shape == (16, 64)
+    part = generate_tokens_fused_hbm(
+        params, encs[:5], primes[:5], cfg=TINY, n_steps=64,
+        pos_offset=offs[:5], n_streams=16, dtype=jnp.bfloat16, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(part), np.asarray(full[:5]))

@@ -90,6 +90,16 @@ def test_ae_plan_resident_groups_and_hbm_fallback():
     assert fused is hbm_k.generate_tokens_fused_hbm
     assert rows == 16 and extra.get("n_stream_groups") == 2
 
+    # bf16 plans the 16-row sublane tile: 16 streams = ONE group, and the
+    # plan's extra carries n_streams for the kernel call
+    fused, rows, extra = plan_ae_serving(full, full_params, 16, jnp.bfloat16, 4096)
+    assert fused is hbm_k.generate_tokens_fused_hbm
+    assert rows == 16
+    assert extra.get("n_streams") == 16 and extra.get("n_stream_groups") == 1
+    fused, rows, extra = plan_ae_serving(tiny, tiny_params, 16, jnp.bfloat16, 2048)
+    assert fused is res_k.generate_tokens_fused
+    assert rows == 16 and extra == {"n_streams": 16}
+
 
 def test_chunked_fused_traced_seed_under_mesh():
     """generate_batch's mesh body passes a TRACED seed into _chunked_fused

@@ -331,3 +331,38 @@ def test_ae_session_state_roundtrip_continues_exactly():
     np.testing.assert_array_equal(resumed[a], cont[a])
     np.testing.assert_array_equal(resumed[b], cont[b])
     assert first[a].shape == (32,)
+
+
+def test_ae_session_bf16_16_stream_plan():
+    """dtype=bfloat16 plans the 16-row native tile: capacity 16 is ONE
+    group (n_streams=16), and the session serves joins/leaves through the
+    bf16 program (validity smoke — bf16-vs-f32 exactness is not expected;
+    bitwise row independence is hardware-gated in benchmarks)."""
+    from music_tpu.generate.serving import AEDecodeSession
+    from music_tpu.data.audio import mu_law_encode_np
+    from music_tpu.models import wavenet_ae as wae
+
+    cfg = wae.WaveNetAEConfig(
+        filter_width=2, dilations=(1, 2, 4, 8, 1, 2, 4, 8),
+        en_residual_channel=8, en_dilation_channel=8, de_residual_channel=8,
+        de_dilation_channel=8, de_skip_channel=16, en_bottleneck_width=12,
+        en_pool_kernel_size=8, quantization_channel=32,
+    )
+    params = wae.init_params(jax.random.PRNGKey(40), cfg)
+    P = cfg.receptive_field + max(cfg.dilations)
+    t_axis = np.arange(P + 80) / 16000.0
+    clips = [
+        mu_law_encode_np(0.4 * np.sin(2 * np.pi * (200.0 + 40.0 * i) * t_axis * 50), 32)
+        for i in range(3)
+    ]
+    sess = AEDecodeSession(cfg, params, capacity=16, steps_per_call=32,
+                           dtype=jnp.bfloat16)
+    assert sess._extra == {"n_streams": 16}
+    assert sess.capacity == 16 and sess._rows == 16
+    a = sess.add(clips[0])
+    out = sess.step()
+    assert out[a].shape == (32,) and (out[a] >= 0).all() and (out[a] < 32).all()
+    b, c = sess.add(clips[1]), sess.add(clips[2])
+    sess.finish(a)
+    out = sess.step()
+    assert sorted(out) == sorted([b, c])
