@@ -5,10 +5,11 @@ WaveNet serving planner (chunked fused decodes, VMEM-budgeted kernel
 selection, HBM-ring upgrade).  Interpret tests prove token exactness; this
 script proves the PLAN compiles and runs on hardware at real request
 scale: n concurrent reconstructions of multi-second clips through the
-full-size reference AE (40 blocks, pool 512 — decoder weights beyond the
-resident 10 MB cut, so the conditioned HBM-streaming kernel with
-interleaved stream groups carries the batch), chunked over multiple
-kernel calls per stream.
+full-size reference AE (40 blocks, pool 512 — at 16 f32 streams the
+request needs two stream groups, past the resident kernel's one-group
+VMEM budget, so the conditioned HBM-streaming kernel with interleaved
+stream groups carries the batch), chunked over multiple kernel calls
+per stream.
 
 A short trained-model agreement check (fused HBM plan vs the scan
 decoder on the same prime/encoding) guards against conditioning-clock or

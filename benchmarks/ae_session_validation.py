@@ -3,15 +3,15 @@
 The AE kernels' per-stream ``pos_offset`` vector (the AEDecodeSession
 enabler) is interpret-tested for exactness; this script proves it
 compiles and holds on real hardware: a briefly-trained full-size AE
-(12 MB — the planner routes it to the HBM-streaming kernel, the same
-kernel generate_batch serves it with) runs staggered-join reconstruction
-streams and each stream's session output must agree with its
-uninterrupted single-call decode (decisive argmax margins make agreement
-exact).  Two blocks:
+runs staggered-join reconstruction streams and each stream's session
+output must agree with its uninterrupted single-call decode (decisive
+argmax margins make agreement exact).  Two blocks:
 
-  1. the original 2-stream staggered join (round 3's validation, now on
-     the HBM session path), cross-checked against the RESIDENT kernel's
-     single-call decode — a cross-kernel agreement;
+  1. the original 2-stream staggered join on a ``kernel="hbm"``-pinned
+     session (the auto plan now keeps one-group requests on the resident
+     kernel — its budget is exact, and the full-size AE's DECODE-KERNEL
+     weights fit one VMEM group), cross-checked against the RESIDENT
+     kernel's single-call decode — a cross-kernel agreement;
   2. NEW (round 4): capacity 16 -> n_stream_groups=2 on the HBM kernel —
      12 streams joining across calls, each vs its uninterrupted
      single-call HBM decode (VERDICT r3 #2's "Done" criterion).
@@ -81,7 +81,10 @@ def main():
     print(f"# trained, loss {float(loss):.4f}", file=sys.stderr)
 
     k = args.steps_per_call
-    sess = AEDecodeSession(cfg, params, capacity=8, steps_per_call=k)
+    # kernel="hbm" pin: keep block 1 a CROSS-kernel agreement (the auto
+    # plan serves one-group full-size requests from the resident kernel)
+    sess = AEDecodeSession(cfg, params, capacity=8, steps_per_call=k,
+                           kernel="hbm")
     got = {0: [], 1: []}
     t1 = time.time()
     a = sess.add(codes[0])

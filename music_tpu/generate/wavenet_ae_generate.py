@@ -59,10 +59,13 @@ def plan_ae_serving(cfg, params, n_rows: int, dtype, call_steps: int,
     S = 16 if jnp.dtype(dtype) == jnp.bfloat16 else res_k.N_STREAMS
     base = {"n_streams": S} if S != res_k.N_STREAMS else {}
     G_need = -(-n_rows // S)
-    weight_bytes = sum(
-        int(np.prod(v.shape)) * 4 for v in jax.tree_util.tree_leaves(params)
-    )
-    if kernel == "auto" and weight_bytes < 10e6:
+    # NO crude model-size gate here: the resident budget is computed
+    # exactly by max_stream_groups from the DECODER-KERNEL weights at the
+    # compute itemsize (the model's 12 MB f32 pytree includes the encoder
+    # and the cond projections, which never enter the decode kernel — at
+    # bf16 the reference-size AE's kernel weights are ~3 MB and fit VMEM
+    # outright, eliminating the weight stream entirely for 16 streams)
+    if kernel == "auto":
         try:
             res_k._grouping(cfg)  # raises when a ring row exceeds 128 lanes
             Fc = frame_window_width(

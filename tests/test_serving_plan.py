@@ -84,18 +84,28 @@ def test_ae_plan_resident_groups_and_hbm_fallback():
     assert fused is res_k.generate_tokens_fused
     assert rows == 8 and extra == {}
 
-    full = ae.WaveNetAEConfig()  # 12 MB f32 — exceeds the resident gate
+    # the REFERENCE-size AE: its 12 MB f32 pytree includes the encoder +
+    # cond projections, but the DECODE KERNEL's weights are ~6 MB f32 /
+    # ~3 MB bf16 — so one group fits the resident kernel (zero weight
+    # streaming) and only multi-group requests go to the HBM kernel
+    full = ae.WaveNetAEConfig()
     full_params = ae.init_params(jax.random.PRNGKey(1), full)
+    fused, rows, extra = plan_ae_serving(full, full_params, 8, jnp.float32, 4096)
+    assert fused is res_k.generate_tokens_fused
+    assert rows == 8 and extra == {}
     fused, rows, extra = plan_ae_serving(full, full_params, 16, jnp.float32, 4096)
     assert fused is hbm_k.generate_tokens_fused_hbm
     assert rows == 16 and extra.get("n_stream_groups") == 2
 
-    # bf16 plans the 16-row sublane tile: 16 streams = ONE group, and the
-    # plan's extra carries n_streams for the kernel call
+    # bf16 plans the 16-row sublane tile: 16 streams = ONE group — which
+    # fits the resident kernel on the reference AE; 32 go to HBM G=2
     fused, rows, extra = plan_ae_serving(full, full_params, 16, jnp.bfloat16, 4096)
+    assert fused is res_k.generate_tokens_fused
+    assert rows == 16 and extra == {"n_streams": 16}
+    fused, rows, extra = plan_ae_serving(full, full_params, 32, jnp.bfloat16, 4096)
     assert fused is hbm_k.generate_tokens_fused_hbm
-    assert rows == 16
-    assert extra.get("n_streams") == 16 and extra.get("n_stream_groups") == 1
+    assert rows == 32
+    assert extra.get("n_streams") == 16 and extra.get("n_stream_groups") == 2
     fused, rows, extra = plan_ae_serving(tiny, tiny_params, 16, jnp.bfloat16, 2048)
     assert fused is res_k.generate_tokens_fused
     assert rows == 16 and extra == {"n_streams": 16}
