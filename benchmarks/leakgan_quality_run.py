@@ -68,6 +68,14 @@ def main():
                     help="adversarial-only Manager/Worker LR scale "
                          "(LeakGanTrainConfig.adv_lr_scale; 1.0 = the "
                          "reference protocol)")
+    ap.add_argument("--reward-delta", type=float, default=16.0,
+                    help="rank-rescale temperature (16.0 = the reference's "
+                         "near-binary rewards; smaller keeps mid-rank "
+                         "gradient signal)")
+    ap.add_argument("--d-freeze-refresh", type=int, default=0,
+                    help="refresh the G update's frozen leaked-feature/"
+                         "reward critic every K adversarial epochs "
+                         "(0 = live critic, the reference protocol)")
     ap.add_argument("--smoke", action="store_true",
                     help="2/2/4 epochs on 256 rows — wiring check")
     ap.add_argument("--cpu", action="store_true",
@@ -103,7 +111,10 @@ def main():
     vocab = int(max(train.max(), evals.max())) + 1  # 5259 — see module docstring
 
     cfg = lg.LeakGanConfig(vocab_size=vocab)  # all other leak_gan_params defaults
-    tc = LeakGanTrainConfig(cfg=cfg, adv_lr_scale=args.adv_lr_scale)
+    tc = LeakGanTrainConfig(
+        cfg=cfg, adv_lr_scale=args.adv_lr_scale,
+        reward_delta=args.reward_delta,
+    )
     # ^ lrs/decay per train_params.json; adv_lr_scale opt-in (round 4)
     tr = LeakGanTrainer(tc, seed=233)         # train_params.json seed
 
@@ -153,6 +164,7 @@ def main():
         ml, wl, dl = tr.adversarial_epoch(
             train, d_steps=5, d_epochs=3,
             interleave_supervision=args.interleave,
+            d_freeze_refresh=args.d_freeze_refresh,
         )
         if ep % args.eval_every == 0 or ep == 1:
             nll = tr.eval_nll(evals)

@@ -31,20 +31,29 @@ from benchmarks.leakgan_quality_run import load_real_corpus
 
 
 VARIANTS = [
-    # (name, interleave, adv_lr_scale, d_steps)
-    ("reference", 0, 1.0, 5),
-    ("interleave1", 1, 1.0, 5),
-    ("advlr0.1", 0, 0.1, 5),
-    ("interleave1+advlr0.1", 1, 0.1, 5),
+    # (name, interleave, adv_lr_scale, d_steps, reward_delta, d_freeze)
+    ("reference", 0, 1.0, 5, 16.0, 0),
+    ("interleave1", 1, 1.0, 5, 16.0, 0),
+    ("advlr0.1", 0, 0.1, 5, 16.0, 0),
+    ("interleave1+advlr0.1", 1, 0.1, 5, 16.0, 0),
     # refinement round (sweep 1 findings: interleave overfits — the extra
     # supervision epochs past the pretrain plateau cost ~0.2 nats; small
     # adv LR keeps the epoch-1 gain and drifts only slowly):
-    ("advlr0.03", 0, 0.03, 5),
-    ("advlr0.3", 0, 0.3, 5),
+    ("advlr0.03", 0, 0.03, 5, 16.0, 0),
+    ("advlr0.3", 0, 0.3, 5, 16.0, 0),
     # drift attribution: does the slow rise under advlr0.1 come from G
     # updates or from the 15 D epochs/adv-epoch moving the leaked
     # features under the generator?
-    ("advlr0.1+noD", 0, 0.1, 0),
+    ("advlr0.1+noD", 0, 0.1, 0, 16.0, 0),
+    # round-5 levers (STATUS round-5 #3), composed with the sweep-2
+    # winner advlr0.03: a softer rank-rescale temperature keeps mid-rank
+    # gradient signal (delta=16 saturates the batch's top/bottom to ~1/0),
+    # and a frozen leaked-feature/reward critic (refreshed every 10
+    # epochs) gives G a stationary target between refreshes.
+    ("delta4", 0, 1.0, 5, 4.0, 0),
+    ("advlr0.03+delta4", 0, 0.03, 5, 4.0, 0),
+    ("dfreeze10", 0, 1.0, 5, 16.0, 10),
+    ("advlr0.03+dfreeze10", 0, 0.03, 5, 16.0, 10),
 ]
 
 
@@ -71,9 +80,11 @@ def main():
     ]
     results = {}
     pre_nll = None
-    for name, interleave, adv_scale, d_steps in picked:
+    for name, interleave, adv_scale, d_steps, rdelta, d_freeze in picked:
         cfg = lg.LeakGanConfig(vocab_size=vocab)
-        tc = LeakGanTrainConfig(cfg=cfg, adv_lr_scale=adv_scale)
+        tc = LeakGanTrainConfig(
+            cfg=cfg, adv_lr_scale=adv_scale, reward_delta=rdelta,
+        )
         tr = LeakGanTrainer(tc, seed=233)
         # restore the shared post-pretrain state (step_0: G pretrained 80
         # epochs + D pretrained 50 epochs on the reference corpus)
@@ -91,6 +102,7 @@ def main():
             tr.adversarial_epoch(
                 train, d_steps=d_steps, d_epochs=3,
                 interleave_supervision=interleave,
+                d_freeze_refresh=d_freeze,
             )
             if ep % args.eval_every == 0 or ep == 1:
                 nll = tr.eval_nll(evals)
@@ -102,6 +114,8 @@ def main():
             "interleave": interleave,
             "adv_lr_scale": adv_scale,
             "d_steps": d_steps,
+            "reward_delta": rdelta,
+            "d_freeze_refresh": d_freeze,
             "best_eval_nll": round(best, 4),
             "final_eval_nll": traj[-1]["eval_nll"],
             "delta_vs_pretrain": round(best - pre_nll, 4),

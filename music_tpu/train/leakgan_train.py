@@ -54,6 +54,13 @@ class LeakGanTrainConfig:
     # taming the policy-gradient step requires an LR knob, not a loss
     # weight; pretrain/interleaved supervision keeps the full LR.
     adv_lr_scale: float = 1.0
+    # opt-in reward shaping (default 16.0 = the reference's rank-rescale
+    # sharpness, leak_gan/utils.py:461-475): the rescaled reward is
+    # sigmoid(delta * (0.5 - rank/B)), so delta is the TEMPERATURE of the
+    # rank distribution — at 16 the top/bottom of the batch saturate to
+    # ~1/0 (near-binary rewards drive the real-corpus collapse); smaller
+    # deltas keep mid-rank gradient signal.
+    reward_delta: float = 16.0
     # target-LSTM oracle init: "normal" = N(0,1) for EVERY parameter
     # (leak_gan/target.py:30-32), giving oracle NLL range to move in;
     # "torch" (module defaults) yields a near-uniform oracle whose NLL is
@@ -376,6 +383,7 @@ class LeakGanTrainer:
                 rewards = lg.get_rewards(
                     gp, d_params, rets["gen_token"], k2, cfg=cfg,
                     rollout_num=self.tc.rollout_num, temperature=cfg.temperature,
+                    delta=self.tc.reward_delta,
                     axis_name=axis,  # rank over the GLOBAL dp batch
                     d_forward=d_forward,
                 )
@@ -492,7 +500,8 @@ class LeakGanTrainer:
 
     def adversarial_epoch(self, real_data: np.ndarray, d_steps: int = 5,
                           d_epochs: int = 3,
-                          interleave_supervision: int = 0):
+                          interleave_supervision: int = 0,
+                          d_freeze_refresh: int = 0):
         """One adversarial round (leak_gan/train.py:210-320): G update with
         rollout rewards, then D retraining on fresh negatives.
 
@@ -502,9 +511,30 @@ class LeakGanTrainer:
         protocol — leak_gan/train.py:210-320 — has no stabilizer and
         mode-collapses on the real corpus, docs/DIVERGENCES.md #19).  D then
         retrains against the supervised-updated G.  Returns the adversarial
-        manager/worker losses (supervision progress shows up in eval NLL)."""
+        manager/worker losses (supervision progress shows up in eval NLL).
+
+        ``d_freeze_refresh=K`` (opt-in; 0 = the reference's live-critic
+        protocol): the G update reads its leaked features AND rollout
+        rewards from a SNAPSHOT of D refreshed every K adversarial epochs,
+        so the generator optimizes against a stationary critic for K
+        updates while the live D keeps training on fresh negatives — the
+        policy-gradient analog of a target network (divergence #19's
+        second stabilizer; the leaked-feature input distribution shifting
+        under G every epoch is a collapse driver on the real corpus)."""
+        if d_freeze_refresh > 0:
+            if (
+                getattr(self, "_frozen_d", None) is None
+                or self._freeze_age >= d_freeze_refresh
+            ):
+                self._frozen_d = jax.tree.map(lambda a: a, self.d_params)
+                self._freeze_age = 0
+            self._freeze_age += 1
+            d_for_g = self._frozen_d
+        else:
+            self._frozen_d = None
+            d_for_g = self.d_params
         self.g_params, self.m_opt, self.w_opt, ml, wl = self._adv_step(
-            self.g_params, self.d_params, self.m_opt, self.w_opt,
+            self.g_params, d_for_g, self.m_opt, self.w_opt,
             self.keys.next(), self.keys.next(),
         )
         if interleave_supervision:

@@ -312,3 +312,49 @@ def test_from_json_accepts_reference_nested_schema():
     flat = lg.LeakGanConfig.from_json({"vocab_size": 40, "seq_len": 10,
                                        "filter_sizes": [1], "num_filters": [4]})
     assert flat.vocab_size == 40 and flat.goal_out_size == 4
+
+
+def test_adversarial_stabilizer_knobs():
+    """Opt-in round-5 stabilizers: a softer rank-rescale temperature
+    (reward_delta) and a frozen leaked-feature/reward critic
+    (d_freeze_refresh) both run and leave the default protocol intact."""
+    tc = LeakGanTrainConfig(
+        cfg=CFG, batch_size=B, rollout_num=2, generated_num=8,
+        reward_delta=4.0,
+    )
+    tr = LeakGanTrainer(tc, seed=0)
+    real = np.random.default_rng(5).integers(1, 40, (16, 10)).astype(np.int64)
+    tr.pretrain_generator(real, epochs=1)
+    tr.pretrain_discriminator(real, epochs=1)
+
+    # frozen critic: snapshot taken on the first epoch, held for K=2
+    aml, awl, _ = tr.adversarial_epoch(
+        real, d_steps=1, d_epochs=1, d_freeze_refresh=2
+    )
+    assert np.isfinite(aml) and np.isfinite(awl)
+    frozen0 = tr._frozen_d
+    assert frozen0 is not None
+    live_leaf = jax.tree_util.tree_leaves(tr.d_params)[0]
+    froz_leaf = jax.tree_util.tree_leaves(frozen0)[0]
+    # D retrained after the snapshot -> live D moved, snapshot did not
+    assert not np.allclose(np.asarray(live_leaf), np.asarray(froz_leaf))
+    tr.adversarial_epoch(real, d_steps=1, d_epochs=1, d_freeze_refresh=2)
+    assert tr._frozen_d is frozen0  # held within the refresh window
+    tr.adversarial_epoch(real, d_steps=1, d_epochs=1, d_freeze_refresh=2)
+    assert tr._frozen_d is not frozen0  # refreshed after K epochs
+
+    # turning the knob off restores the live-critic protocol
+    tr.adversarial_epoch(real, d_steps=1, d_epochs=1)
+    assert tr._frozen_d is None
+
+
+def test_reward_delta_flattens_rescale():
+    """Smaller delta = flatter rank rewards (more mid-rank gradient)."""
+    sums = jnp.asarray(np.random.default_rng(7).normal(size=(2, 16)), jnp.float32)
+    sharp = lg.rescale_rewards(sums, delta=16.0)
+    soft = lg.rescale_rewards(sums, delta=4.0)
+    assert float(jnp.ptp(soft)) < float(jnp.ptp(sharp))
+    # both are rank-monotone on each restore-point row
+    order = np.argsort(np.asarray(sums[0]))
+    assert (np.diff(np.asarray(sharp[0])[order]) >= 0).all()
+    assert (np.diff(np.asarray(soft[0])[order]) >= 0).all()
