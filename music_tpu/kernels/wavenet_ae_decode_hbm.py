@@ -35,6 +35,7 @@ from music_tpu.kernels.wavenet_ae_decode import (
     _grouping,
     _round_up,
 )
+from music_tpu.kernels.wavenet_decode_hbm import _quantize_cols
 
 
 def _row_lanes(cfg: WaveNetAEConfig) -> int:
@@ -129,13 +130,14 @@ def _ae_kernel_hbm(
     post_hbm,        # [Cs, Cs + Q]
     condfg_hbm,      # [F, G*S, L*2Cd]
     condpost_hbm,    # [F, G*S, Cs]
-    off_ref,         # SMEM i32 — shared clock: [1] absolute time of step 0
-    #                  (pos_offset + P; dynamic so chunked long decodes
-    #                  don't recompile).  Per-stream clocks: [G*S] REBASED
-    #                  in-window phases r_s in [0, pool) (the wrapper
-    #                  shifts each stream's table column by its base
-    #                  frame — AEDecodeSession streams join at any time)
-    *rest,           # (+ off_lanes VMEM input when per-stream clocks)
+    *rest,           # ([gscale, pdscale, pkscale, postscale] when int8)
+    #                  + off_ref (SMEM i32 — shared clock: [1] absolute time
+    #                  of step 0 = pos_offset + P, dynamic so chunked long
+    #                  decodes don't recompile; per-stream clocks: [G*S]
+    #                  REBASED in-window phases r_s in [0, pool) — the
+    #                  wrapper shifts each stream's table column by its base
+    #                  frame, AEDecodeSession streams join at any time)
+    #                  (+ off_lanes VMEM input when per-stream clocks)
     #                  + out_ref [(T//128)*G*S, 128] i32
     #                  (+ ring_state ANY output when hbm rings) + scratch
     cfg: WaveNetAEConfig,
@@ -146,9 +148,17 @@ def _ae_kernel_hbm(
     hbm_ring_min_dilation: int = 0,
     per_stream_pos: bool = False,
     n_streams: int = N_STREAMS,
+    weight_dtype=None,
 ):
     hbm_rings = hbm_ring_min_dilation > 0
+    quantized = weight_dtype is not None
     rest = list(rest)
+    if quantized:
+        gscale_ref = rest.pop(0)     # [L, 1, Cg]
+        pdscale_ref = rest.pop(0)    # [L, 1, Cr]
+        pkscale_ref = rest.pop(0)    # [L, 1, Cs]
+        postscale_ref = rest.pop(0)  # [n_post, 1, PB]
+    off_ref = rest.pop(0)
     # lane-replicated [G*S, 128] copy of off_ref so the crossing mask is
     # pure elementwise vector math (no sublane broadcasts)
     off_lanes_ref = rest.pop(0) if per_stream_pos else None
@@ -390,9 +400,35 @@ def _ae_kernel_hbm(
             gate_dma(slot, i).wait()
             proj_dma(slot, i).wait()
 
+            if quantized:
+                # int8 -> compute-dtype convert, once per DMA'd tile (shared
+                # by all G groups; depends only on the DMA, so it schedules
+                # off the activation chain); per-output-column scales apply
+                # exactly AFTER the matmuls (linearity) and BEFORE the
+                # conditioning bias — exact vs dequantized_params
+                gw = gate_buf[slot].astype(dtype)   # [W+Cr, Cg]
+                pw = proj_buf[slot].astype(dtype)   # [Cd, Crp+Cs]
+                gs = gscale_ref[i]                  # [1, Cg]
+                pds = pdscale_ref[i]                # [1, Cr]
+                pks = pkscale_ref[i]                # [1, Cs]
+
             for sg in range(G):
                 tap = taps[sg][layer_group[i]]
                 xs[sg].append(x[sg])
+                if quantized:
+                    fg = jnp.dot(tap, gw[:W], preferred_element_type=jnp.float32)
+                    fg = (fg + jnp.dot(x[sg], gw[W:], preferred_element_type=jnp.float32)) * gs
+                    fg = fg[:, : 2 * Cd] + cond_fg_cur[pl.ds(sg * S, S), i * 2 * Cd : (i + 1) * 2 * Cd]
+                    # reference gate split: gate first half, filter second
+                    z = (jnp.tanh(fg[:, Cd:]) * jax.nn.sigmoid(fg[:, :Cd])).astype(dtype)
+                    x[sg] = (
+                        x[sg]
+                        + jnp.dot(z, pw[:, :Cr], preferred_element_type=jnp.float32) * pds
+                    ).astype(dtype)
+                    skip_acc[sg] = skip_acc[sg] + jnp.dot(
+                        z, pw[:, Crp:], preferred_element_type=jnp.float32
+                    ) * pks
+                    continue
                 fg = jnp.dot(tap, gate_buf[slot, :W], preferred_element_type=jnp.float32)
                 fg = fg + jnp.dot(x[sg], gate_buf[slot, W:], preferred_element_type=jnp.float32)
                 fg = fg[:, : 2 * Cd] + cond_fg_cur[pl.ds(sg * S, S), i * 2 * Cd : (i + 1) * 2 * Cd]
@@ -435,8 +471,11 @@ def _ae_kernel_hbm(
             if j + 1 < n_post:
                 post_dma((j + 1) % 2, j + 1).start()
             post_dma(slot, j).wait()
+            pb = post_buf[slot].astype(dtype) if quantized else post_buf[slot]
             for sg in range(G):
-                blk = jnp.dot(h[sg], post_buf[slot], preferred_element_type=jnp.float32)
+                blk = jnp.dot(h[sg], pb, preferred_element_type=jnp.float32)
+                if quantized:
+                    blk = blk * postscale_ref[j]
                 blk = blk + cond_post_cur[pl.ds(sg * S, S), j * PB : (j + 1) * PB]
                 h2_blocks[sg].append(jax.nn.relu(blk).astype(dtype))
         h2 = [jnp.concatenate(h2_blocks[sg], axis=1) for sg in range(G)]
@@ -453,10 +492,12 @@ def _ae_kernel_hbm(
                         gate_dma(i0 % NB, i0).start()
                         proj_dma(i0 % NB, i0).start()
             post_dma(slot, j).wait()
+            pb = post_buf[slot].astype(dtype) if quantized else post_buf[slot]
             for sg in range(G):
-                logit_blocks[sg].append(
-                    jnp.dot(h2[sg], post_buf[slot], preferred_element_type=jnp.float32)
-                )
+                lj = jnp.dot(h2[sg], pb, preferred_element_type=jnp.float32)
+                if quantized:
+                    lj = lj * postscale_ref[j]
+                logit_blocks[sg].append(lj)
         logits = [jnp.concatenate(logit_blocks[sg], axis=1) for sg in range(G)]
 
         next_tok = [
@@ -492,7 +533,14 @@ def _ae_kernel_hbm(
                 wr_dma(k, g, sg, t_last % d if d > 1 else 0, t_last % 2).wait()
 
 
-def _build_hbm_weights(params: dict, cfg: WaveNetAEConfig, dtype):
+def _build_hbm_weights(params: dict, cfg: WaveNetAEConfig, dtype,
+                       weight_dtype=None):
+    """Pack the decoder pytree into the three streamed HBM layouts.
+
+    ``weight_dtype=jnp.int8`` stores the packs int8 with per-output-column
+    f32 scales, exactly as kernels/wavenet_decode_hbm._build_hbm_weights
+    does for the unconditioned kernel (scales stored pre-split/pre-blocked
+    so every kernel-side multiply uses a whole [1, cols] row)."""
     L, Cr, Cd, Cs = (
         cfg.n_blocks,
         cfg.de_residual_channel,
@@ -512,20 +560,85 @@ def _build_hbm_weights(params: dict, cfg: WaveNetAEConfig, dtype):
     dense_p = jnp.zeros((L, Cd, Crp), jnp.float32).at[:, :, :Cr].set(params["dense"])
     proj = jnp.concatenate([dense_p, params["skip"]], axis=2)
     post = jnp.concatenate([params["conn1"], params["conn2"]], axis=1)
-    return {
+    out = {
         "ecur": params["de_causal"][1].astype(dtype),
         "eprev": params["de_causal"][0].astype(dtype),
-        "gate": gate.astype(dtype),
-        "proj": proj.astype(dtype),
-        "post": post.astype(dtype),
     }
+    if weight_dtype is None:
+        out.update(
+            gate=gate.astype(dtype), proj=proj.astype(dtype), post=post.astype(dtype)
+        )
+        return out
+    if jnp.dtype(weight_dtype) != jnp.int8:
+        raise NotImplementedError("weight_dtype must be None or jnp.int8")
+    gate_q, gate_s = _quantize_cols(gate, axis=1)     # [L,1,Cg]
+    proj_q, proj_s = _quantize_cols(proj, axis=1)     # [L,1,Crp+Cs]
+    post_q, post_s = _quantize_cols(post, axis=0)     # [1,Cs+Q]
+    PB = _post_block(cfg)
+    n_post = (Cs + cfg.quantization_channel) // PB
+    out.update(
+        gate=gate_q, proj=proj_q, post=post_q,
+        gate_scale=gate_s.astype(jnp.float32),                    # [L,1,Cg]
+        proj_scale_dense=proj_s[:, :, :Cr].astype(jnp.float32),   # [L,1,Cr]
+        proj_scale_skip=proj_s[:, :, Crp:].astype(jnp.float32),   # [L,1,Cs]
+        post_scale_blocks=post_s[0]
+        .reshape(n_post, 1, PB)
+        .astype(jnp.float32),                                     # [n_post,1,PB]
+        _proj_scale_full=proj_s.astype(jnp.float32),  # dequant helper only
+    )
+    return out
+
+
+def dequantized_params(params: dict, cfg: WaveNetAEConfig) -> dict:
+    """The params pytree the ``weight_dtype=jnp.int8`` kernel actually
+    computes with: pack -> int8 quantize -> dequantize -> unpack.
+
+    Only the streamed DECODER packs (fg/dense/skip/conn1/conn2) quantize;
+    embeddings and the conditioning projections (cond_fg/cond_post — their
+    bias rows stream in f32/compute dtype) pass through.  Running the scan
+    decoder (models/wavenet_ae.generate_tokens) on this pytree is the
+    exact reference for the quantized kernel."""
+    L, Cr, Cd, Cs = (
+        cfg.n_blocks,
+        cfg.de_residual_channel,
+        cfg.de_dilation_channel,
+        cfg.de_skip_channel,
+    )
+    W = _row_lanes(cfg)
+    _, lane_of_layer = _grouping(cfg, W)
+    Crp = _round_up(Cr, 128)
+    w = _build_hbm_weights(params, cfg, jnp.float32, weight_dtype=jnp.int8)
+    gate = w["gate"].astype(jnp.float32) * w["gate_scale"]
+    proj = w["proj"].astype(jnp.float32) * w["_proj_scale_full"]
+    post = w["post"].astype(jnp.float32) * jnp.concatenate(
+        [b for b in w["post_scale_blocks"]], axis=1
+    )
+    fg = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    gate[i, lane_of_layer[i] : lane_of_layer[i] + Cr, : 2 * Cd],
+                    gate[i, W : W + Cr, : 2 * Cd],
+                ]
+            )
+            for i in range(L)
+        ]
+    )
+    return dict(
+        params,
+        fg=fg,
+        dense=proj[:, :, :Cr],
+        skip=proj[:, :, Crp:],
+        conn1=post[:, :Cs],
+        conn2=post[:, Cs:],
+    )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "cfg", "n_steps", "interpret", "dtype", "n_stream_groups",
-        "rings_in_hbm", "hbm_ring_min_dilation", "n_streams",
+        "rings_in_hbm", "hbm_ring_min_dilation", "n_streams", "weight_dtype",
     ),
 )
 def generate_tokens_fused_hbm(
@@ -538,6 +651,7 @@ def generate_tokens_fused_hbm(
     interpret: bool = False,
     n_stream_groups: int = 1,
     dtype=jnp.float32,
+    weight_dtype=None,
     rings_in_hbm: bool = False,
     hbm_ring_min_dilation: int = 32,
     pos_offset=0,
@@ -563,7 +677,17 @@ def generate_tokens_fused_hbm(
     leading-dim DMAs into a cur/nxt staging pair and per-stream crossings
     commit via a lane-replicated-mask vector select (Mosaic forbids
     sublane-dim row slices).  Scalar callers compile the shared-clock
-    program unchanged (one contiguous block DMA per refresh)."""
+    program unchanged (one contiguous block DMA per refresh).
+
+    ``weight_dtype=jnp.int8`` streams int8 weight-only-quantized decoder
+    packs (per-output-column scales, applied exactly post-matmul and
+    before the conditioning bias) — 4x less weight HBM traffic than f32,
+    2x less than bf16 on this bandwidth-bound kernel.  Conditioning-bias
+    tables keep the compute dtype (they are per-stream activations, not
+    weights).  Token-exact vs the scan decoder run on
+    :func:`dequantized_params`; like the WaveNet int8 mode it ships for
+    HBM *capacity* (the convert cancels the DMA saving on v5e —
+    docs/BENCHMARKS.md "Int8 weight streaming")."""
     if cfg.filter_width != 2:
         raise NotImplementedError("fused decode assumes filter_width=2")
     if rings_in_hbm and hbm_ring_min_dilation < 3 and not interpret:
@@ -619,7 +743,14 @@ def generate_tokens_fused_hbm(
             .swapaxes(0, 1)
             .reshape(G * n_tiles, S, W)
         )
-    w = _build_hbm_weights(params, cfg, dtype)
+    w = _build_hbm_weights(params, cfg, dtype, weight_dtype=weight_dtype)
+    w_dtype = None if weight_dtype is None else jnp.dtype(weight_dtype)
+    buf_dtype = dtype if w_dtype is None else w_dtype
+    scale_ops = (
+        [w["gate_scale"], w["proj_scale_dense"], w["proj_scale_skip"],
+         w["post_scale_blocks"]]
+        if w_dtype else []
+    )
     F = encoding.shape[1]
     # [F, G*S, C] frame-major tables: one contiguous-row DMA per refresh
     cond_fg = jnp.einsum("bfw,lwc->fblc", encoding, params["cond_fg"])
@@ -653,7 +784,7 @@ def generate_tokens_fused_hbm(
     kernel = functools.partial(
         _ae_kernel_hbm, cfg=cfg, total=total, F=F,
         n_stream_groups=G, dtype=dtype, hbm_ring_min_dilation=hbm_min_d,
-        per_stream_pos=per_stream_pos, n_streams=S,
+        per_stream_pos=per_stream_pos, n_streams=S, weight_dtype=w_dtype,
     )
     Cr, Cs, Q = cfg.de_residual_channel, cfg.de_skip_channel, cfg.quantization_channel
 
@@ -683,6 +814,7 @@ def generate_tokens_fused_hbm(
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
         + [pl.BlockSpec(memory_space=pl.ANY)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(scale_ops)
         + [pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(off_extra),
         out_specs=out_specs,
@@ -690,9 +822,9 @@ def generate_tokens_fused_hbm(
         scratch_shapes=[pltpu.VMEM((G * d, S, W), dtype) for d, _ in vmem_groups]
         + stage_shapes
         + [
-            pltpu.VMEM((4, W + Cr, _round_up(2 * Cd, 128)), dtype),  # gate buffers
-            pltpu.VMEM((4, Cd, _round_up(Cr, 128) + Cs), dtype),  # proj buffers
-            pltpu.VMEM((2, Cs, PB), dtype),                    # post buffers
+            pltpu.VMEM((4, W + Cr, _round_up(2 * Cd, 128)), buf_dtype),  # gate buffers
+            pltpu.VMEM((4, Cd, _round_up(Cr, 128) + Cs), buf_dtype),  # proj buffers
+            pltpu.VMEM((2, Cs, PB), buf_dtype),                # post buffers
             pltpu.VMEM((S_total, cfg.n_blocks * 2 * Cd), dtype),  # cond_fg rows
             pltpu.VMEM((S_total, Cs), dtype),                  # cond_post rows
         ]
@@ -717,7 +849,7 @@ def generate_tokens_fused_hbm(
         cur0.astype(dtype), prev0.astype(dtype), w["ecur"], w["eprev"],
         ring0.astype(dtype), w["gate"], w["proj"], w["post"],
         cond_fg.astype(dtype), cond_post.astype(dtype),
-        off_op, *off_extra,
+        *scale_ops, off_op, *off_extra,
     )
     if hbm_min_d:
         out = out[0]

@@ -200,3 +200,90 @@ def test_ae_hbm_bf16_16_stream_mode():
         pos_offset=offs[:5], n_streams=16, dtype=jnp.bfloat16, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(part), np.asarray(full[:5]))
+
+
+def test_ae_hbm_int8_matches_dequantized_scan():
+    """weight_dtype=int8 streams weight-only-quantized decoder packs; the
+    exact reference is the scan decoder on the dequantized pytree (the
+    conditioning tables stay full-precision — they are activations)."""
+    from music_tpu.kernels.wavenet_ae_decode_hbm import (
+        _build_hbm_weights, dequantized_params,
+    )
+
+    params = ae.init_params(jax.random.PRNGKey(40), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 8
+    prime = jax.random.randint(jax.random.PRNGKey(41), (2, P), 0, 32)
+    F = 12
+    encoding = jax.random.normal(jax.random.PRNGKey(42), (2, F, 12)) * 0.3
+
+    dq = dequantized_params(params, TINY)
+    # quantization must coarsen the decoder weights but not the
+    # conditioning projections...
+    assert not np.allclose(np.asarray(dq["fg"]), np.asarray(params["fg"]))
+    np.testing.assert_array_equal(
+        np.asarray(dq["cond_fg"]), np.asarray(params["cond_fg"])
+    )
+    # ...and requantization is idempotent (so priming from dq == priming
+    # from params modulo the prime-state convs)
+    w0 = _build_hbm_weights(params, TINY, jnp.float32, weight_dtype=jnp.int8)
+    w1 = _build_hbm_weights(dq, TINY, jnp.float32, weight_dtype=jnp.int8)
+    for k in ("gate", "proj", "post"):
+        np.testing.assert_array_equal(np.asarray(w0[k]), np.asarray(w1[k]))
+
+    ref = ae.generate_tokens(
+        dq, encoding, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=100, sample_mode="argmax",
+    )
+    fused = generate_tokens_fused_hbm(
+        dq, encoding, prime, cfg=TINY, n_steps=100, interpret=True,
+        weight_dtype=jnp.int8,
+    )
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
+
+
+def test_ae_hbm_int8_multigroup_rings_per_stream_clocks():
+    """int8 weights compose with every serving feature at once: stream
+    groups, HBM rings, and per-stream utterance clocks (a staggered
+    multi-group int8 call matches per-stream single int8 calls)."""
+    from music_tpu.kernels.wavenet_ae_decode_hbm import dequantized_params
+
+    params = ae.init_params(jax.random.PRNGKey(50), TINY)
+    need = TINY.receptive_field + max(TINY.dilations)
+    rng = np.random.default_rng(51)
+    n = 9
+    primes = jnp.asarray(rng.integers(0, 32, (n, need)), jnp.int32)
+    F = 30
+    encs = jnp.asarray(rng.normal(size=(n, F, 12)) * 0.3, jnp.float32)
+    offs = tuple(int(v) for v in rng.integers(0, 6, n) * 16 + rng.integers(0, 3, n))
+
+    dq = dequantized_params(params, TINY)
+    together = generate_tokens_fused_hbm(
+        dq, encs, primes, cfg=TINY, n_steps=90,
+        pos_offset=jnp.asarray(offs, jnp.int32), interpret=True,
+        weight_dtype=jnp.int8, n_stream_groups=2,
+        rings_in_hbm=True, hbm_ring_min_dilation=2,
+    )
+    for i in (0, 5, 8):
+        alone = generate_tokens_fused_hbm(
+            dq, encs[i : i + 1], primes[i : i + 1], cfg=TINY,
+            n_steps=90, pos_offset=offs[i], interpret=True,
+            weight_dtype=jnp.int8,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(together[i]), np.asarray(alone[0]), err_msg=f"stream {i}"
+        )
+
+    # bf16x16 activations over int8 weights keep row independence
+    p16 = jnp.asarray(rng.integers(0, 32, (16, need)), jnp.int32)
+    e16 = jnp.asarray(rng.normal(size=(16, F, 12)) * 0.3, jnp.float32)
+    full = generate_tokens_fused_hbm(
+        params, e16, p16, cfg=TINY, n_steps=40,
+        n_streams=16, dtype=jnp.bfloat16, weight_dtype=jnp.int8,
+        interpret=True,
+    )
+    part = generate_tokens_fused_hbm(
+        params, e16[:5], p16[:5], cfg=TINY, n_steps=40,
+        n_streams=16, dtype=jnp.bfloat16, weight_dtype=jnp.int8,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(part), np.asarray(full[:5]))
