@@ -80,6 +80,29 @@ def main():
     ]
     results = {}
     pre_nll = None
+    # the shared post-pretrain checkpoint's weights were purged from git
+    # history with the round-4 blob cleanup (only manifests survive); if
+    # step_0 is missing or weightless, regenerate it ONCE with the quality
+    # run's schedule (G 80 epochs + D 50 epochs, seed 233) and save it so
+    # every variant — and every future sweep — restores the same state.
+    from pathlib import Path as _P
+    if not (_P(args.ckpts) / "step_0" / "arrays.npz").exists():
+        print(f"# step_0 weights missing under {args.ckpts}; regenerating "
+              f"the shared pretrain state (80 G + 50 D epochs, ~40 min TPU)",
+              file=sys.stderr)
+        cfg = lg.LeakGanConfig(vocab_size=vocab)
+        tr = LeakGanTrainer(LeakGanTrainConfig(cfg=cfg), seed=233)
+        for ep in range(1, 81):
+            ml, wl = tr.pretrain_generator(train, epochs=1)
+            if ep % 10 == 0:
+                print(f"# pre-G ep {ep}: m={ml:.4f} w={wl:.4f} "
+                      f"(t={time.time()-t0:.0f}s)", file=sys.stderr)
+        for ep in range(1, 51):
+            dl = tr.pretrain_discriminator(train, epochs=1)
+            if ep % 10 == 0:
+                print(f"# pre-D ep {ep}: d={dl:.4f} "
+                      f"(t={time.time()-t0:.0f}s)", file=sys.stderr)
+        tr.save(args.ckpts, step=0)
     for name, interleave, adv_scale, d_steps, rdelta, d_freeze in picked:
         cfg = lg.LeakGanConfig(vocab_size=vocab)
         tc = LeakGanTrainConfig(
