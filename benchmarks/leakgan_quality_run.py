@@ -48,6 +48,37 @@ def load_real_corpus():
     return train, evals, chars
 
 
+def pretrain_phase(tr, train, evals, pre_g, pre_d, ckpt_dir, *,
+                   on_chunk=None, write_poems=None):
+    """The quality run's EXACT pretrain block, factored so the stabilizer
+    sweep regenerates step_0 through the same code path (ADVICE r4 medium):
+    G pretraining in epochs=10 chunks with an eval-NLL call between chunks,
+    one 64-poem sample write, ONE epochs=pre_d D call, then save(step=0).
+    The per-call ``tr.keys.next()`` consumption order is part of the
+    contract — any drift makes a regenerated step_0 a different pretrain
+    state than a quality-run-produced one."""
+    pretrain = []
+    done = 0
+    while done < pre_g:
+        e = min(10, pre_g - done)
+        ml, wl = tr.pretrain_generator(train, epochs=e)
+        done += e
+        nll = tr.eval_nll(evals)
+        pretrain.append(
+            {"epoch": done, "m_loss": round(ml, 4), "w_loss": round(wl, 4),
+             "eval_nll": round(nll, 4)})
+        if on_chunk:
+            on_chunk(pretrain[-1])
+    if write_poems:
+        write_poems("poems_pretrain")
+    else:
+        # key-consumption parity with the quality run's poem write
+        tr.generate_samples(64)
+    dl = tr.pretrain_discriminator(train, epochs=pre_d)
+    tr.save(ckpt_dir, step=0)
+    return pretrain, dl
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/leakgan_quality")
@@ -140,21 +171,12 @@ def main():
         traj = json.loads((out_dir / "trajectory.json").read_text())
         log({"phase": "resume", "adv_done": start_adv})
     else:
-        done = 0
-        while done < args.pre_g:
-            e = min(10, args.pre_g - done)
-            ml, wl = tr.pretrain_generator(train, epochs=e)
-            done += e
-            nll = tr.eval_nll(evals)
-            traj["pretrain"].append(
-                {"epoch": done, "m_loss": round(ml, 4), "w_loss": round(wl, 4),
-                 "eval_nll": round(nll, 4)})
-            log({"phase": "pre_g", **traj["pretrain"][-1]})
-        write_poems("poems_pretrain")
-
-        dl = tr.pretrain_discriminator(train, epochs=args.pre_d)
+        traj["pretrain"], dl = pretrain_phase(
+            tr, train, evals, args.pre_g, args.pre_d, ckpt_dir,
+            on_chunk=lambda rec: log({"phase": "pre_g", **rec}),
+            write_poems=write_poems,
+        )
         log({"phase": "pre_d", "epochs": args.pre_d, "d_loss": round(dl, 4)})
-        tr.save(ckpt_dir, step=0)
 
     # ---- adversarial (800 epochs, 5x3 D retraining each) ---------------
     best = {"eval_nll": float("inf"), "epoch": -1}
@@ -209,6 +231,8 @@ def main():
         "schedule": f"{args.pre_g}/{args.pre_d}/{args.adv}",
         "interleave_supervision": args.interleave,
         "adv_lr_scale": args.adv_lr_scale,
+        "reward_delta": args.reward_delta,
+        "d_freeze_refresh": args.d_freeze_refresh,
         "early_stop": args.early_stop,
         "stopped_early_at": stopped_early,
         "wall_s": round(time.time() - t0, 1),

@@ -27,7 +27,7 @@ import time
 
 import numpy as np
 
-from benchmarks.leakgan_quality_run import load_real_corpus
+from benchmarks.leakgan_quality_run import load_real_corpus, pretrain_phase
 
 
 VARIANTS = [
@@ -59,7 +59,11 @@ VARIANTS = [
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpts", default="benchmarks/artifacts/leakgan_quality_r4/ckpts")
+    # sweep-owned checkpoint dir (ADVICE r4 medium): the original
+    # quality-run step_0 weights were purged with the round-4 blob cleanup;
+    # the regenerated baseline lives under the sweep's own directory so a
+    # later quality run re-saving step_0 can't silently shift it
+    ap.add_argument("--ckpts", default="benchmarks/artifacts/leakgan_stabilizer/ckpts")
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--variants", default=None,
@@ -82,27 +86,27 @@ def main():
     pre_nll = None
     # the shared post-pretrain checkpoint's weights were purged from git
     # history with the round-4 blob cleanup (only manifests survive); if
-    # step_0 is missing or weightless, regenerate it ONCE with the quality
-    # run's schedule (G 80 epochs + D 50 epochs, seed 233) and save it so
-    # every variant — and every future sweep — restores the same state.
+    # step_0 is missing or weightless, regenerate it ONCE through the
+    # quality run's EXACT pretrain code path (pretrain_phase: epochs=10 G
+    # chunks with evals between, one poem-sample draw, one epochs=50 D
+    # call, seed 233 — key-consumption parity, ADVICE r4 medium) and save
+    # it so every variant — and every future sweep — restores the same
+    # state a quality run would have produced.
     from pathlib import Path as _P
-    if not (_P(args.ckpts) / "step_0" / "arrays.npz").exists():
+    step0_regenerated = not (_P(args.ckpts) / "step_0" / "arrays.npz").exists()
+    if step0_regenerated:
         print(f"# step_0 weights missing under {args.ckpts}; regenerating "
-              f"the shared pretrain state (80 G + 50 D epochs, ~40 min TPU)",
+              f"the shared pretrain state via the quality run's "
+              f"pretrain_phase (80 G + 50 D epochs, ~40 min TPU)",
               file=sys.stderr)
         cfg = lg.LeakGanConfig(vocab_size=vocab)
         tr = LeakGanTrainer(LeakGanTrainConfig(cfg=cfg), seed=233)
-        for ep in range(1, 81):
-            ml, wl = tr.pretrain_generator(train, epochs=1)
-            if ep % 10 == 0:
-                print(f"# pre-G ep {ep}: m={ml:.4f} w={wl:.4f} "
-                      f"(t={time.time()-t0:.0f}s)", file=sys.stderr)
-        for ep in range(1, 51):
-            dl = tr.pretrain_discriminator(train, epochs=1)
-            if ep % 10 == 0:
-                print(f"# pre-D ep {ep}: d={dl:.4f} "
-                      f"(t={time.time()-t0:.0f}s)", file=sys.stderr)
-        tr.save(args.ckpts, step=0)
+        tr.eval_nll(evals)  # the quality run's init-NLL draw (key parity)
+        pretrain_phase(
+            tr, train, evals, 80, 50, args.ckpts,
+            on_chunk=lambda rec: print(
+                f"# pre-G {rec} (t={time.time()-t0:.0f}s)", file=sys.stderr),
+        )
     for name, interleave, adv_scale, d_steps, rdelta, d_freeze in picked:
         cfg = lg.LeakGanConfig(vocab_size=vocab)
         tc = LeakGanTrainConfig(
@@ -150,6 +154,8 @@ def main():
         "metric": "leakgan_stabilizer_sweep",
         "pretrain_eval_nll": round(float(pre_nll), 4),
         "epochs": args.epochs,
+        "step0_regenerated": step0_regenerated,
+        "ckpts": args.ckpts,
         "results": results,
         "winner": winner,
         "wall_s": round(time.time() - t0, 1),

@@ -520,7 +520,14 @@ class LeakGanTrainer:
         updates while the live D keeps training on fresh negatives — the
         policy-gradient analog of a target network (divergence #19's
         second stabilizer; the leaked-feature input distribution shifting
-        under G every epoch is a collapse driver on the real corpus)."""
+        under G every epoch is a collapse driver on the real corpus).
+
+        The snapshot and its age are deliberately NOT part of ``state()``
+        (they would double the checkpoint's D footprint): a resumed run
+        re-snapshots the critic from the restored live D on its first
+        post-resume epoch, i.e. resume RESETS the freeze window.  The
+        critic is a K-epoch-stale copy of D either way, so trajectories
+        stay statistically equivalent, just not step-identical."""
         if d_freeze_refresh > 0:
             if (
                 getattr(self, "_frozen_d", None) is None
