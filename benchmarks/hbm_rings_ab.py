@@ -40,8 +40,7 @@ SCALED = wn.WaveNetConfig(
 )
 
 
-def bench(cfg, params, G, batched, n_steps=8192, n_iters=3):
-    S = 16
+def bench(cfg, params, G, batched, n_steps=8192, n_iters=3, S=16):
     P = cfg.receptive_field + max(cfg.dilations)
     fn = functools.partial(
         generate_tokens_fused_hbm, cfg=cfg, n_steps=n_steps, n_streams=S,
@@ -65,16 +64,56 @@ def bench(cfg, params, G, batched, n_steps=8192, n_iters=3):
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     return {
-        "G": G, "batched": batched, "streams": G * S,
+        "S": S, "G": G, "batched": batched, "streams": G * S,
         "us_per_step": round(dt / n_steps * 1e6, 1),
         "total_samples_per_sec": round(G * S * n_steps / dt, 0),
     }
 
 
+def shapes_main():
+    """Stream-SHAPE split A/B at fixed total streams (VERDICT r4 #3).
+
+    Round-3/4 A/Bs proved the marginal serving-group cost is small-matmul
+    THROUGHPUT-bound, not DMA-bound: at S=16/group, every per-group matmul
+    uses 16 sublane rows out of the MXU's 128-deep row stream, and G
+    independent chains multiply the op count instead of the operand size.
+    The kernel is shape-generic in (n_streams, n_stream_groups), so the
+    lever is simply a WIDER tile per group at fixed total streams — the
+    round-1 "32/64-stream rejection" was the fully-RESIDENT kernel; this
+    sweep probes and measures the HBM kernel at S up to 128.  Compile
+    rejections are recorded per shape, not fatal.
+
+    Run: python -m benchmarks.hbm_rings_ab --shapes
+    """
+    out = {"metric": "hbm_rings_shapes_ab", "results": {}}
+    plans = [
+        ("full", FULL, [(16, 8), (32, 4), (64, 2), (128, 1)]),
+        ("scaled", SCALED, [(16, 6), (32, 3), (48, 2), (96, 1)]),
+    ]
+    for name, cfg, shapes in plans:
+        params = wn.init_params(jax.random.PRNGKey(0), cfg)
+        rows = []
+        for S, G in shapes:
+            try:
+                r = bench(cfg, params, G, True, S=S)
+            except Exception as e:  # Mosaic rejection is a RESULT here
+                r = {"S": S, "G": G, "streams": S * G,
+                     "error": f"{type(e).__name__}: {str(e)[:300]}"}
+            rows.append(r)
+            print(f"# {name} {r}", file=sys.stderr)
+        out["results"][name] = rows
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--shapes", action="store_true",
+                    help="stream-shape split sweep at fixed total streams")
     args = ap.parse_args()
+    if args.shapes:
+        shapes_main()
+        return
 
     out = {"metric": "hbm_rings_ab", "results": {}}
     plans = (
