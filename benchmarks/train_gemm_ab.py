@@ -50,13 +50,21 @@ SCALED = wn.WaveNetConfig(
 
 
 def loss_fn(params, tokens, cfg, wl, *, tapfuse, dsfuse, stack=False,
-            dtype=jnp.bfloat16):
+            skip_block=0, dtype=jnp.bfloat16):
     """Teacher-forced NLL over the window tail — the train-step hot math
-    (mirrors train/wavenet_train._sharded_loss, single-shard form)."""
+    (mirrors train/wavenet_train._sharded_loss, single-shard form).
+
+    ``skip_block=K``: stacked [B·T, K·Cd] x [K·Cd, Cs] skip GEMMs per
+    K-layer block — VERDICT r4 #7's layer-blocked middle ground between
+    the per-layer baseline and the rejected full ``stack`` (K=L must
+    materialize the whole [B·T, L·Cd] concat; K=4 is one full-depth
+    128-contraction GEMM whose concat can stay fused)."""
     inputs, targets = tokens[:, :-1], tokens[:, cfg.receptive_field:]
     p = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
     x = token_causal_conv(inputs, p["causal"])
     Cd = cfg.dilation_channels
+    L = len(cfg.dilations)
+    K = L if stack else max(skip_block, 0)
     skip_total = None
     zs = []
     for i, d in enumerate(cfg.dilations):
@@ -76,23 +84,23 @@ def loss_fn(params, tokens, cfg, wl, *, tapfuse, dsfuse, stack=False,
             ds = conv1x1(z, wds)
             dense, skip = ds[..., : cfg.residual_channels], ds[..., cfg.residual_channels:]
             skip = skip[:, -wl:, :]
-        elif stack:
+        elif K > 1:
             dense = conv1x1(z, p["dense"][i])
             zs.append(z[:, -wl:, :])
             skip = None
+            if len(zs) == K or i + 1 == L:
+                k0 = i + 1 - len(zs)
+                z_blk = jnp.concatenate(zs, axis=-1)
+                blk = conv1x1(
+                    z_blk, p["skip"][k0 : i + 1].reshape(len(zs) * Cd, -1))
+                skip_total = blk if skip_total is None else skip_total + blk
+                zs = []
         else:
             dense = conv1x1(z, p["dense"][i])
             skip = conv1x1(z[:, -wl:, :], p["skip"][i])
         x = dense + x[:, -dense.shape[1]:, :]
         if skip is not None:
             skip_total = skip if skip_total is None else skip_total + skip
-    if stack:
-        # ONE [B*T, L*Cd] x [L*Cd, Cs] skip GEMM (full MXU contraction
-        # depth, no per-layer [B*T, Cs] accumulator traffic) — the round-4
-        # roofline's predicted lever (train/wavenet_train stack_skips)
-        L = len(cfg.dilations)
-        z_all = jnp.concatenate(zs, axis=-1)
-        skip_total = conv1x1(z_all, p["skip"].reshape(L * Cd, -1))
     h = jax.nn.relu(skip_total)
     h = jax.nn.relu(conv1x1(h, p["post1"]))
     logits = conv1x1(h, p["post2"])
@@ -113,8 +121,8 @@ def fwd_matmul_flops(cfg, B, wl):
     return float(f)
 
 
-def bench_variant(cfg, B, wl, tapfuse, dsfuse, stack=False, n_fused=8,
-                  n_iters=5, seed0=0):
+def bench_variant(cfg, B, wl, tapfuse, dsfuse, stack=False, skip_block=0,
+                  n_fused=8, n_iters=5, seed0=0):
     params = wn.init_params(jax.random.PRNGKey(0), cfg)
     tx = optax.adam(1e-4)
     opt = tx.init(params)
@@ -123,7 +131,7 @@ def bench_variant(cfg, B, wl, tapfuse, dsfuse, stack=False, n_fused=8,
         params, opt = carry
         loss, grads = jax.value_and_grad(loss_fn)(
             params, tokens, cfg, wl, tapfuse=tapfuse, dsfuse=dsfuse,
-            stack=stack,
+            stack=stack, skip_block=skip_block,
         )
         updates, opt = tx.update(grads, opt)
         return (optax.apply_updates(params, updates), opt), loss
@@ -154,7 +162,8 @@ def bench_variant(cfg, B, wl, tapfuse, dsfuse, stack=False, n_fused=8,
     dt = float(np.median(times))
     flops = 3.0 * fwd_matmul_flops(cfg, B, wl)  # fwd + ~2x bwd
     return {
-        "variant": f"tapfuse={int(tapfuse)},dsfuse={int(dsfuse)},stack={int(stack)}",
+        "variant": f"tapfuse={int(tapfuse)},dsfuse={int(dsfuse)},"
+                   f"stack={int(stack)},blk={skip_block}",
         "step_ms": round(dt * 1e3, 2),
         "samples_per_sec": round(B * wl / dt, 1),
         "tflops": round(flops / dt / 1e12, 1),
@@ -172,11 +181,14 @@ def main():
     models = [("full", FULL)] if args.quick else [("full", FULL), ("scaled", SCALED)]
     for name, cfg in models:
         rows = []
-        for tapfuse, dsfuse, stack in [
-            (0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0), (1, 0, 1),
+        for tapfuse, dsfuse, stack, blk in [
+            (0, 0, 0, 0), (1, 0, 0, 0), (1, 0, 1, 0),
+            # VERDICT r4 #7: layer-blocked skip accumulation (K-layer
+            # stacked GEMMs; K=4 -> 128-deep contraction, VMEM-size concat)
+            (1, 0, 0, 4), (1, 0, 0, 8), (0, 0, 0, 4),
         ]:
             r = bench_variant(cfg, B, wl, bool(tapfuse), bool(dsfuse),
-                              stack=bool(stack),
+                              stack=bool(stack), skip_block=blk,
                               n_iters=3 if args.quick else 5)
             rows.append(r)
             print(f"# {name} {r}", file=sys.stderr)

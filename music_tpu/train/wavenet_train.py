@@ -74,7 +74,8 @@ def param_specs(cfg: WaveNetConfig, tp: bool) -> dict:
 
 
 def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: int,
-                  compute_dtype=None, stack_skips: bool = False):
+                  compute_dtype=None, stack_skips: bool = False,
+                  skip_block: int = 0):
     """Local (per-shard) loss inside shard_map.
 
     ``tokens``: [B_local, RF + WL] — batch sharded over ``data``, replicated
@@ -96,10 +97,20 @@ def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: in
         params = jax.tree_util.tree_map(lambda x: x.astype(compute_dtype), params)
 
     use_bias = cfg.use_bias
+    L, Cd = len(cfg.dilations), cfg.dilation_channels
+    # skip-GEMM formulation: 0/1 = per-layer narrow GEMMs (the measured
+    # round-4 winner); K > 1 = stacked [B·T, K·Cd] x [K·Cd, Cs] GEMMs per
+    # K-layer block (block-matmul identity: the layer sum IS the stacked
+    # contraction).  K = L is the round-4 ``stack_skips`` lever that LOST
+    # on hardware (+17% — it must materialize the whole [B·T, L·Cd]
+    # concat); small K trades a K-deep contraction (K·Cd = full 128-MXU
+    # depth at K=4) for a K x smaller concat that can stay in VMEM —
+    # VERDICT r4 #7's layer-blocked variant, A/B'd in train_gemm_ab.
+    K = L if stack_skips else max(skip_block, 0)
     x = token_causal_conv(inputs, params["causal"], params.get("causal_b") if use_bias else None)
     out_width = wl_local
     skip_total = None
-    zs = []  # stack_skips: gated activations collected for one wide GEMM
+    zs = []  # blocked mode: gated activations collected for one wide GEMM
     for i, d in enumerate(cfg.dilations):
         # fuse_taps: one [B·T, 2Cr]x[2Cr, 2Cd] GEMM per layer — the train
         # step is lane-width-bound and the doubled contraction depth is
@@ -113,8 +124,19 @@ def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: in
         )
         dense = conv1x1(z, params["dense"][i], params["dense_b"][i] if use_bias else None)
         x = dense + x[:, -dense.shape[1]:, :]
-        if stack_skips:
+        if K > 1:
             zs.append(z[:, -out_width:, :])
+            if len(zs) == K or i + 1 == L:
+                k0 = i + 1 - len(zs)
+                z_blk = jnp.concatenate(zs, axis=-1)  # [B, W, len·Cd]
+                blk = conv1x1(
+                    z_blk, params["skip"][k0 : i + 1].reshape(len(zs) * Cd, -1),
+                    None,
+                )
+                if use_bias:
+                    blk = blk + jnp.sum(params["skip_b"][k0 : i + 1], axis=0)
+                skip_total = blk if skip_total is None else skip_total + blk
+                zs = []
             continue
         # column-parallel skip projection: local [B, W, Cs/m]
         skip = conv1x1(
@@ -122,21 +144,6 @@ def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: in
             params["skip_b"][i] if use_bias else None,
         )
         skip_total = skip if skip_total is None else skip_total + skip
-
-    if stack_skips:
-        # ONE [B·T, L·Cd] x [L·Cd, Cs] skip GEMM instead of L narrow
-        # (contraction Cd) GEMMs each touching the [B·T, Cs] accumulator:
-        # full MXU contraction depth AND ~L x less accumulator HBM traffic
-        # (the fused skip-weight layout the decode kernels already use —
-        # kernels/wavenet_decode.py skipw).  Block-matmul identity: the
-        # layer sum IS the stacked contraction.
-        L, Cd = len(cfg.dilations), cfg.dilation_channels
-        z_all = jnp.concatenate(zs, axis=-1)  # [B, W, L*Cd]
-        skip_total = conv1x1(
-            z_all, params["skip"].reshape(L * Cd, -1), None
-        )
-        if use_bias:
-            skip_total = skip_total + jnp.sum(params["skip_b"], axis=0)
 
     h = jax.nn.relu(skip_total)
     # row-parallel post1: partial products psum'd over model
@@ -153,12 +160,14 @@ def _sharded_loss(params, tokens, cfg: WaveNetConfig, window_length: int, sp: in
 
 
 def make_loss_fn(cfg: WaveNetConfig, mesh: Mesh, window_length: int,
-                 compute_dtype=None, stack_skips: bool = False):
+                 compute_dtype=None, stack_skips: bool = False,
+                 skip_block: int = 0):
     """Global scalar loss over the mesh: shard_map of the local loss,
     differentiable with ``jax.grad`` (backward collectives auto-derived).
     ``compute_dtype=jnp.bfloat16`` enables mixed-precision matmuls.
     ``stack_skips`` computes the skip projection as one stacked
-    [B·T, L·Cd] x [L·Cd, Cs] GEMM (same math; see _sharded_loss)."""
+    [B·T, L·Cd] x [L·Cd, Cs] GEMM; ``skip_block=K`` is the blocked
+    middle ground (same math; see _sharded_loss)."""
     sp = mesh.shape["seq"]
     if window_length % sp != 0:
         raise ValueError(f"window_length {window_length} % seq axis {sp} != 0")
@@ -169,6 +178,7 @@ def make_loss_fn(cfg: WaveNetConfig, mesh: Mesh, window_length: int,
         functools.partial(
             _sharded_loss, cfg=cfg, window_length=window_length, sp=sp,
             compute_dtype=compute_dtype, stack_skips=stack_skips,
+            skip_block=skip_block,
         ),
         mesh=mesh,
         in_specs=(specs, P("data", None)),
@@ -179,10 +189,11 @@ def make_loss_fn(cfg: WaveNetConfig, mesh: Mesh, window_length: int,
 
 def make_train_step(cfg: WaveNetConfig, tx: optax.GradientTransformation, mesh: Mesh,
                     window_length: int, compute_dtype=None,
-                    stack_skips: bool = False):
+                    stack_skips: bool = False, skip_block: int = 0):
     """One compiled update: grads through the sharded loss + optax update."""
     loss_fn, specs = make_loss_fn(
-        cfg, mesh, window_length, compute_dtype, stack_skips=stack_skips
+        cfg, mesh, window_length, compute_dtype, stack_skips=stack_skips,
+        skip_block=skip_block,
     )
 
     @jax.jit
