@@ -102,6 +102,43 @@ def shapes_main():
             rows.append(r)
             print(f"# {name} {r}", file=sys.stderr)
         out["results"][name] = rows
+
+    # the RESIDENT kernel's round-1 "32/64-stream rejection" is consistent
+    # with plain VMEM overflow (f32 rings at S=32 are 16.8 MB alone); at
+    # bf16 S=32 the rings are 8.4 MB — probe whether the fully-resident
+    # fast path widens too (it holds the current 1.7M/s serving headline)
+    from music_tpu.kernels.wavenet_decode import generate_tokens_fused
+
+    params = wn.init_params(jax.random.PRNGKey(0), FULL)
+    P = FULL.receptive_field + max(FULL.dilations)
+    rows = []
+    for S, G in [(16, 2), (32, 1), (32, 2)]:
+        n_steps = 8192
+        try:
+            def run(seed):
+                prime = jax.random.randint(
+                    jax.random.PRNGKey(seed), (G * S, P), 0, 256)
+                return np.asarray(generate_tokens_fused(
+                    params, prime, cfg=FULL, n_steps=n_steps, n_streams=S,
+                    n_stream_groups=G, dtype=jnp.bfloat16))
+            nonce = int(time.time() * 1000) % 2**30
+            run(nonce)
+            run(nonce + 1)
+            times = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                run(nonce + 2 + i)
+                times.append(time.perf_counter() - t0)
+            dt = float(np.median(times))
+            r = {"S": S, "G": G, "streams": S * G,
+                 "us_per_step": round(dt / n_steps * 1e6, 1),
+                 "total_samples_per_sec": round(G * S * n_steps / dt, 0)}
+        except Exception as e:
+            r = {"S": S, "G": G, "streams": S * G,
+                 "error": f"{type(e).__name__}: {str(e)[:300]}"}
+        rows.append(r)
+        print(f"# resident {r}", file=sys.stderr)
+    out["results"]["resident_full"] = rows
     print(json.dumps(out))
 
 
