@@ -51,6 +51,13 @@ def main():
     ap.add_argument("--patience", type=int, default=3)
     ap.add_argument("--max-pre-g", type=int, default=80)
     ap.add_argument("--variants", default=None)
+    ap.add_argument("--order", choices=["gd", "dg"], default="gd",
+                    help="pretrain order: gd = G then D (the repo's quality-"
+                         "run order), dg = D then G (the REFERENCE's order, "
+                         "leak_gan/train.py:386-403 — G pretrains against "
+                         "the trained D's leaked features, so the eval "
+                         "metric is consistent from pretrain through the "
+                         "adversarial phase)")
     ap.add_argument("--out",
                     default="benchmarks/artifacts/leakgan_earlystop_adv_r5.json")
     args = ap.parse_args()
@@ -68,6 +75,12 @@ def main():
     if not (ck / "step_0" / "arrays.npz").exists():
         cfg = lg.LeakGanConfig(vocab_size=vocab)
         tr = LeakGanTrainer(LeakGanTrainConfig(cfg=cfg), seed=233)
+        dl = None
+        if args.order == "dg":  # the reference's order: D first, on
+            # negatives from the init G (leak_gan/train.py:386-392)
+            dl = tr.pretrain_discriminator(train, epochs=50)
+            print(f"# pre-D (reference order) d_loss {dl:.4f} "
+                  f"(t={time.time()-t0:.0f}s)", file=sys.stderr)
         best, best_ep, stale, traj = float("inf"), 0, 0, []
         ep = 0
         while ep < args.max_pre_g:
@@ -84,19 +97,23 @@ def main():
                 stale += 1
                 if stale >= args.patience:
                     break
-        # restore the optimum (G + its opts; D is still at init there)
+        # restore the optimum (full state at the best eval: G + its opts
+        # and whatever D it was evaluated against — init D under gd,
+        # the pretrained D under dg)
         state, _ = ckpt_lib.restore_or_init(ck / "g_best", tr.state())
         tr.g_params, tr.d_params = state["g_params"], state["d_params"]
         tr.m_opt, tr.w_opt, tr.d_opt = (
             state["m_opt"], state["w_opt"], state["d_opt"])
         print(f"# restored pretrain optimum: {best:.4f} @ ep {best_ep}",
               file=sys.stderr)
-        dl = tr.pretrain_discriminator(train, epochs=50)
+        if args.order == "gd":
+            dl = tr.pretrain_discriminator(train, epochs=50)
         tr.save(ck, step=0)
-        pre_meta = {"pre_g_best_ep": best_ep,
-                    "pre_g_best_eval_nll_initD": round(best, 4),
+        pre_meta = {"order": args.order,
+                    "pre_g_best_ep": best_ep,
+                    "pre_g_best_eval_nll": round(best, 4),
                     "pre_g_trajectory": traj,
-                    "pre_d_loss": round(dl, 4)}
+                    "pre_d_loss": round(float(dl), 4)}
         (ck / "pre_meta.json").write_text(json.dumps(pre_meta))
     else:
         pre_meta = json.loads((ck / "pre_meta.json").read_text())
