@@ -107,6 +107,13 @@ def main():
                     help="refresh the G update's frozen leaked-feature/"
                          "reward critic every K adversarial epochs "
                          "(0 = live critic, the reference protocol)")
+    ap.add_argument("--pre-g-early-stop", type=int, default=0,
+                    help="early-stop the G pretrain at its eval-NLL optimum "
+                         "with this patience (in 5-epoch chunks, checkpoint-"
+                         "restore at best; 0 = the reference's fixed "
+                         "--pre-g epochs).  The reference's fixed 80-epoch "
+                         "schedule overshoots the optimum by ~0.06 nats "
+                         "(benchmarks/leakgan_mle_ceiling; round-5 finding)")
     ap.add_argument("--smoke", action="store_true",
                     help="2/2/4 epochs on 256 rows — wiring check")
     ap.add_argument("--cpu", action="store_true",
@@ -170,6 +177,39 @@ def main():
         tr.restore(ckpt_dir)
         traj = json.loads((out_dir / "trajectory.json").read_text())
         log({"phase": "resume", "adv_done": start_adv})
+    elif args.pre_g_early_stop:
+        # round-5 variant: stop the G pretrain at its eval optimum
+        # (checkpoint-restore at best) instead of the reference's fixed
+        # epoch count; keys diverge from pretrain_phase's parity contract,
+        # which is why this is opt-in
+        from music_tpu.core import checkpoint as _ck
+
+        best, best_ep, stale, ep = float("inf"), 0, 0, 0
+        while ep < args.pre_g:
+            ml, wl = tr.pretrain_generator(train, epochs=5)
+            ep += 5
+            nll = tr.eval_nll(evals)
+            traj["pretrain"].append(
+                {"epoch": ep, "m_loss": round(ml, 4), "w_loss": round(wl, 4),
+                 "eval_nll": round(nll, 4)})
+            log({"phase": "pre_g", **traj["pretrain"][-1]})
+            if nll < best:
+                best, best_ep, stale = nll, ep, 0
+                tr.save(ckpt_dir / "g_best", step=ep, max_checkpoints=1)
+            else:
+                stale += 1
+                if stale >= args.pre_g_early_stop:
+                    break
+        state, _ = _ck.restore_or_init(ckpt_dir / "g_best", tr.state())
+        tr.g_params, tr.d_params = state["g_params"], state["d_params"]
+        tr.m_opt, tr.w_opt, tr.d_opt = (
+            state["m_opt"], state["w_opt"], state["d_opt"])
+        log({"phase": "pre_g_best", "epoch": best_ep,
+             "eval_nll": round(best, 4)})
+        write_poems("poems_pretrain")
+        dl = tr.pretrain_discriminator(train, epochs=args.pre_d)
+        tr.save(ckpt_dir, step=0)
+        log({"phase": "pre_d", "epochs": args.pre_d, "d_loss": round(dl, 4)})
     else:
         traj["pretrain"], dl = pretrain_phase(
             tr, train, evals, args.pre_g, args.pre_d, ckpt_dir,
@@ -233,6 +273,9 @@ def main():
         "adv_lr_scale": args.adv_lr_scale,
         "reward_delta": args.reward_delta,
         "d_freeze_refresh": args.d_freeze_refresh,
+        "pre_g_early_stop": args.pre_g_early_stop,
+        "pre_g_best_eval_nll": min(
+            (r["eval_nll"] for r in traj["pretrain"]), default=None),
         "early_stop": args.early_stop,
         "stopped_early_at": stopped_early,
         "wall_s": round(time.time() - t0, 1),
