@@ -146,7 +146,7 @@ class DecodeSession:
         want = -(-want_total // D) if want_total else S
         on_tpu = jax.default_backend() == "tpu"
         if backend == "auto" and on_tpu:
-            fused, g_max, rings = plan_fused_serving(
+            fused, S, g_max, rings = plan_fused_serving(
                 cfg, S, dtype, self.steps_per_call, want
             )
             if rings:

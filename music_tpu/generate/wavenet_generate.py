@@ -154,26 +154,28 @@ def sharded_rows_program(mesh, params, body):
 
 
 def plan_fused_serving(cfg, S, dtype, call_steps, n):
-    """Pick the fused serving kernel and group cap for ``n`` streams of
-    ``S``-per-tile width at ``call_steps``-step kernel calls.
+    """Pick the fused serving kernel, tile height and group cap for ``n``
+    streams (``S``: the native tile height the resident/HBM plans use).
 
-    Returns ``(fused_fn, g_max, rings_in_hbm)``; ``fused_fn is None``
-    means no Pallas kernel supports the config (callers fall back to the
-    batched ``lax.scan`` path).  Preference order: resident kernel
+    Returns ``(fused_fn, S_used, g_max, rings_in_hbm)``; ``fused_fn is
+    None`` means no Pallas kernel supports the config (callers fall back
+    to the batched ``lax.scan`` path).  Preference order: resident kernel
     (lowest step latency) when weights + rings + output fit VMEM, else
     the HBM-streaming kernel; when ``n`` outgrows the VMEM-ring group
     caps, upgrade to HBM ring state — large-dilation ring slots live in
-    HBM (one [S, W] tile in+out per group per step), lifting the
-    serving-group ceiling by ~30-60x (marginal throughput per extra
-    group diminishes — docs/BENCHMARKS.md "HBM ring state" — but one
-    bigger launch still beats several sequential ones)."""
+    HBM (one tile in+out per group per step), lifting the serving-group
+    ceiling by ~30-60x.  The rings plan also WIDENS the tile
+    (:func:`...wavenet_decode_hbm.serving_stream_width` — the round-5
+    shape A/B: wide tiles batch the per-layer matmuls across streams,
+    full-model 128 streams 1.27M -> 2.58M samples/s), clamped to the
+    padded request so small ``n`` doesn't pay for empty rows."""
     from music_tpu.kernels import wavenet_decode, wavenet_decode_hbm
 
     fused, g_max, rings_in_hbm = None, 1, False
     if cfg.filter_width != 2:
         # both fused kernels assume filter_width=2 (their wrappers raise
         # at call time — the plan must route such configs to the scan path)
-        return fused, g_max, rings_in_hbm
+        return fused, S, g_max, rings_in_hbm
     res_g = hbm_g = 0
     try:
         wavenet_decode._grouping(cfg)
@@ -197,13 +199,19 @@ def plan_fused_serving(cfg, S, dtype, call_steps, n):
     elif hbm_g >= 1:
         fused, g_max = wavenet_decode_hbm.generate_tokens_fused_hbm, hbm_g
     if fused is not None and n > S * g_max and hbm_g >= 1:
-        hbmr_g = wavenet_decode_hbm.max_stream_groups_hbm_rings(
-            cfg, S, dtype, n_steps=call_steps
+        S_wide = min(
+            wavenet_decode_hbm.serving_stream_width(cfg, dtype),
+            max(S, -(-n // S) * S),  # no wider than the padded request
         )
-        if hbmr_g > g_max:
-            fused = wavenet_decode_hbm.generate_tokens_fused_hbm
-            g_max, rings_in_hbm = hbmr_g, True
-    return fused, g_max, rings_in_hbm
+        hbmr_g = wavenet_decode_hbm.max_stream_groups_hbm_rings(
+            cfg, S_wide, dtype, n_steps=call_steps
+        )
+        if S_wide * hbmr_g > S * g_max:
+            return (
+                wavenet_decode_hbm.generate_tokens_fused_hbm,
+                S_wide, hbmr_g, True,
+            )
+    return fused, S, g_max, rings_in_hbm
 
 
 def generate(
@@ -339,7 +347,7 @@ def generate_batch(
     # VMEM output budget is charged per CALL, not per request
     call_steps = min(n_steps, STEPS_PER_CALL)
     if on_tpu:
-        fused, g_max, rings_in_hbm = plan_fused_serving(
+        fused, S, g_max, rings_in_hbm = plan_fused_serving(
             cfg, S, dtype, call_steps, n
         )
 

@@ -155,6 +155,24 @@ def calibrate_act_scales(
     return tuple(scales)
 
 
+def serving_stream_width(cfg: WaveNetConfig, dtype=jnp.bfloat16) -> int:
+    """Measured-optimal sublane tile height for HBM-RINGS serving.
+
+    The round-5 stream-shape A/B (docs/BENCHMARKS.md, artifact
+    hbm_rings_shapes_ab_r5.json) showed the marginal serving cost at
+    S=16/group is small-matmul sublane underutilization: wide tiles batch
+    every per-layer matmul across streams — full model (W=128) S16xG8 ->
+    S128xG1 halves the step (1.27M -> 2.58M samples/s at 128 streams);
+    the scaled model (W=256) peaks around S=32-48.  The optimum tracks
+    S*W ~ 16k lanes of tap-matmul operand; wide S only fits VMEM in
+    rings mode (a full VMEM ring set at S=128 is ~33 MB).  Returns a
+    multiple of the native tile height (8 f32 / 16 bf16), capped at 128
+    (the widest shape probed on hardware)."""
+    base = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+    W = max(_row_lanes(cfg), 128)
+    return int(min(128, max(base, (16384 // W) // base * base)))
+
+
 def max_stream_groups_hbm_rings(
     cfg: WaveNetConfig,
     n_streams: int = N_STREAMS,

@@ -23,27 +23,45 @@ SCALED = wn.WaveNetConfig(
 
 
 def test_full_model_picks_resident():
-    fused, g, rings = plan_fused_serving(FULL, 16, jnp.bfloat16, 16384, 32)
+    fused, S, g, rings = plan_fused_serving(FULL, 16, jnp.bfloat16, 16384, 32)
     assert fused is wavenet_decode.generate_tokens_fused
-    assert g == 2 and not rings  # bf16x16 x G2 = the serving headline
+    assert S == 16 and g == 2 and not rings  # bf16x16 x G2 resident
 
 
-def test_full_model_upgrades_to_hbm_rings_for_big_n():
-    fused, g, rings = plan_fused_serving(FULL, 16, jnp.bfloat16, 8192, 128)
+def test_full_model_upgrades_to_wide_hbm_rings_for_big_n():
+    fused, S, g, rings = plan_fused_serving(FULL, 16, jnp.bfloat16, 8192, 128)
     assert fused is wavenet_decode_hbm.generate_tokens_fused_hbm
-    assert rings and g * 16 >= 128  # the 128-stream concurrency mode
+    # the round-5 shape A/B: the rings upgrade widens the tile (full
+    # model W=128 -> S=128, the measured 2.58M samples/s shape)
+    assert rings and S == 128 and S * g >= 128
+
+
+def test_rings_width_clamped_to_request():
+    # 40 streams: padded request is 48 (3 base tiles) — the plan must not
+    # launch a 128-wide tile for it
+    fused, S, g, rings = plan_fused_serving(FULL, 16, jnp.bfloat16, 8192, 40)
+    assert fused is wavenet_decode_hbm.generate_tokens_fused_hbm
+    assert rings and S == 48 and S * g >= 40
 
 
 def test_scaled_model_skips_resident():
-    fused, g, rings = plan_fused_serving(SCALED, 8, jnp.float32, 2048, 8)
+    fused, S, g, rings = plan_fused_serving(SCALED, 8, jnp.float32, 2048, 8)
     assert fused is wavenet_decode_hbm.generate_tokens_fused_hbm
-    assert g >= 1 and not rings
+    assert S == 8 and g >= 1 and not rings
+
+
+def test_scaled_model_wide_width_capped_by_row_lanes():
+    # W=256 for the scaled model: serving_stream_width caps at 64 (the
+    # S*W ~ 16k lanes optimum), not 128
+    assert wavenet_decode_hbm.serving_stream_width(SCALED, jnp.bfloat16) == 64
+    assert wavenet_decode_hbm.serving_stream_width(FULL, jnp.bfloat16) == 128
+    assert wavenet_decode_hbm.serving_stream_width(FULL, jnp.float32) == 128
 
 
 def test_output_budget_shrinks_groups():
     # charging a bigger per-call output tile can only shrink the cap
-    g_small = plan_fused_serving(FULL, 16, jnp.bfloat16, 2048, 32)[1]
-    g_big = plan_fused_serving(FULL, 16, jnp.bfloat16, 16384, 32)[1]
+    g_small = plan_fused_serving(FULL, 16, jnp.bfloat16, 2048, 32)[2]
+    g_big = plan_fused_serving(FULL, 16, jnp.bfloat16, 16384, 32)[2]
     assert g_big <= g_small
 
 
@@ -53,7 +71,7 @@ def test_unsupported_config_returns_none():
         filter_width=3, dilations=(1, 2) * 40, dilation_channels=32,
         residual_channels=32, skip_channels=512, quantization_channels=256,
     )
-    fused, _, _ = plan_fused_serving(odd, 8, jnp.float32, 2048, 8)
+    fused, _, _, _ = plan_fused_serving(odd, 8, jnp.float32, 2048, 8)
     assert fused is None
 
 
