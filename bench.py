@@ -226,8 +226,11 @@ def _run_benchmarks(out):
     except Exception as e:  # never lose the headline metric
         print(f"# serving mode failed: {e}", file=sys.stderr)
 
-    # serving-depth ceiling: HBM ring state lifts the VMEM group cap —
-    # 128 concurrent streams (bf16x16 x G8) from one kernel launch
+    # serving-depth ceiling: HBM ring state + WIDE sublane tile — 128
+    # concurrent streams as ONE bf16 [128, W] tile chain (the round-5
+    # stream-shape A/B: S16xG8 1.27M -> S128xG1 2.58M samples/s; wide
+    # tiles batch every per-layer matmul across streams, and rings free
+    # the VMEM a wide ring cache would need)
     try:
         if _elapsed() < TIME_BUDGET_S - 280:
             import functools
@@ -238,20 +241,17 @@ def _run_benchmarks(out):
 
             r8, t8, _, trange8 = _bench(
                 functools.partial(_gen_hbm, rings_in_hbm=True),
-                params, cfg, 8192, 16, jnp.bfloat16, P, n_groups=8,
+                params, cfg, 8192, 128, jnp.bfloat16, P, n_groups=1,
             )
             out["serving_hbm_rings"] = {
-                "kernel_mode": "bf16x16xG8+hbm-rings",
+                "kernel_mode": "bf16x128xG1+hbm-rings",
                 "streams": 128,
                 "total_samples_per_sec": round(t8, 1),
                 "total_samples_per_sec_range": trange8,
                 "samples_per_sec_stream": round(r8, 1),
-                # this mode maximizes concurrent streams/chip (128 sessions);
-                # raw-throughput serving of VMEM-resident models is the
-                # `serving` block — a lower number HERE is not a regression
                 "concurrency_mode": "max-streams-per-chip",
             }
-            print(f"# serving hbm-rings G8: {t8:.0f}/s total", file=sys.stderr)
+            print(f"# serving hbm-rings S128: {t8:.0f}/s total", file=sys.stderr)
     except Exception as e:
         print(f"# hbm-rings serving mode failed: {e}", file=sys.stderr)
 

@@ -47,7 +47,9 @@ def main():
     ap.add_argument("--train-steps", type=int, default=300)
     ap.add_argument("--agree-steps", type=int, default=3072)
     ap.add_argument("--bench-steps", type=int, default=8192)
-    ap.add_argument("--gs", default="8,12,16")
+    ap.add_argument("--shapes", default="16x8,128x1,128x2",
+                    help="SxG ladder rungs (wide tiles per the round-5 "
+                         "shape A/B; 128x2 = 256 streams)")
     ap.add_argument("--out",
                     default="benchmarks/artifacts/composed_capacity_r5.json")
     args = ap.parse_args()
@@ -93,12 +95,12 @@ def main():
 
     P = cfg.receptive_field + max(cfg.dilations)
 
-    def composed(p, B, n_steps, prime, wdt, dtype):
-        G = B // S if dtype == jnp.bfloat16 else B // 8
+    def composed(p, n_steps, prime, wdt, dtype, S=S, G=None):
+        if G is None:
+            G = prime.shape[0] // S
         return hbm_k.generate_tokens_fused_hbm(
             p, prime, cfg=cfg, n_steps=n_steps,
-            n_streams=S if dtype == jnp.bfloat16 else 8,
-            n_stream_groups=G, dtype=dtype, weight_dtype=wdt,
+            n_streams=S, n_stream_groups=G, dtype=dtype, weight_dtype=wdt,
             rings_in_hbm=True, batched_ring_dma=True,
         )
 
@@ -110,11 +112,11 @@ def main():
     prime = jnp.stack([
         jnp.asarray(codes[i * 7 : i * 7 + P], jnp.int32) for i in range(B)
     ])
-    comp = np.asarray(composed(params, B, k, prime, jnp.int8, jnp.bfloat16))
+    comp = np.asarray(composed(params, k, prime, jnp.int8, jnp.bfloat16))
     dq = hbm_k.dequantized_params(params, cfg)
-    bf16_dq = np.asarray(composed(dq, B, k, prime, None, jnp.bfloat16))
+    bf16_dq = np.asarray(composed(dq, k, prime, None, jnp.bfloat16))
     agr_q = float((comp == bf16_dq).mean())
-    f32 = np.asarray(composed(params, B, k, prime, None, jnp.float32))
+    f32 = np.asarray(composed(params, k, prime, None, jnp.float32, S=8))
     agr_x = float((comp == f32).mean())
     print(f"# int8-composed vs bf16-on-dq: {agr_q:.6f}; vs f32: {agr_x:.6f}",
           file=sys.stderr)
@@ -129,45 +131,50 @@ def main():
         "source_hz": tone,
     })
 
-    # --- throughput ladder over G ---------------------------------------
+    # --- throughput ladder over (S, G) shapes ---------------------------
     n = args.bench_steps
-    cap = hbm_k.max_stream_groups_hbm_rings(
-        cfg, n_streams=S, dtype=jnp.bfloat16, n_steps=n)
-    out["planner_group_cap"] = int(cap)
     ladder = []
     knee = None
-    for G in [int(g) for g in args.gs.split(",")]:
-        B = G * S
+    for shape in args.shapes.split(","):
+        Sx, G = (int(v) for v in shape.split("x"))
+        B = G * Sx
+        cap = hbm_k.max_stream_groups_hbm_rings(
+            cfg, n_streams=Sx, dtype=jnp.bfloat16, n_steps=n)
         if G > cap:
-            ladder.append({"G": G, "streams": B, "skipped": "past planner cap"})
+            ladder.append({"S": Sx, "G": G, "streams": B,
+                           "skipped": f"past planner cap {cap}"})
             continue
+        try:
+            def run(seed):
+                pr = jnp.asarray(
+                    np.stack([codes[(seed + i) % 1024 : (seed + i) % 1024 + P]
+                              for i in range(B)]), jnp.int32)
+                return np.asarray(composed(params, n, pr, jnp.int8,
+                                           jnp.bfloat16, S=Sx, G=G))
 
-        def run(seed):
-            pr = jnp.asarray(
-                np.stack([codes[(seed + i) % 1024 : (seed + i) % 1024 + P]
-                          for i in range(B)]), jnp.int32)
-            return np.asarray(composed(params, B, n, pr, jnp.int8,
-                                       jnp.bfloat16))
-
-        nonce = int(time.time() * 1000) % (1 << 20)
-        run(nonce)
-        run(nonce + 1)  # second call can also pay compile cost — warm twice
-        times = []
-        for i in range(3):
-            t1 = time.perf_counter()
-            run(nonce + 2 + i)
-            times.append(time.perf_counter() - t1)
-        dt = float(np.median(times))
-        row = {
-            "G": G, "streams": B,
-            "us_per_step": round(dt / n * 1e6, 1),
-            "total_samples_per_sec": round(B * n / dt, 0),
-            "samples_per_sec_stream": round(n / dt, 0),
-            "realtime_x": round(n / dt / sr, 2),
-        }
+            nonce = int(time.time() * 1000) % (1 << 20)
+            run(nonce)
+            run(nonce + 1)  # 2nd call can also pay compile cost — warm twice
+            times = []
+            for i in range(3):
+                t1 = time.perf_counter()
+                run(nonce + 2 + i)
+                times.append(time.perf_counter() - t1)
+            dt = float(np.median(times))
+            row = {
+                "S": Sx, "G": G, "streams": B,
+                "us_per_step": round(dt / n * 1e6, 1),
+                "total_samples_per_sec": round(B * n / dt, 0),
+                "samples_per_sec_stream": round(n / dt, 0),
+                "realtime_x": round(n / dt / sr, 2),
+            }
+        except Exception as e:  # a Mosaic rejection is a result, not a crash
+            row = {"S": Sx, "G": G, "streams": B,
+                   "error": f"{type(e).__name__}: {str(e)[:300]}"}
         ladder.append(row)
         print(f"# ladder {row}", file=sys.stderr)
-        if row["samples_per_sec_stream"] >= sr:
+        if row.get("samples_per_sec_stream", 0) >= sr and (
+                knee is None or row["streams"] > knee["streams"]):
             knee = row
     out["ladder"] = ladder
     if knee is not None:
