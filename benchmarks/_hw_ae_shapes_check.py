@@ -35,7 +35,8 @@ def main():
     F = frame_window_width(P, ks, cfg.en_pool_kernel_size)
 
     rows = []
-    for S, G in [(16, 2), (32, 1), (16, 4), (32, 2), (64, 1)]:
+    for S, G in [(16, 2), (32, 1), (16, 4), (32, 2), (64, 1),
+                 (16, 8), (64, 2), (128, 1)]:
         B = S * G
         try:
             def run(seed):

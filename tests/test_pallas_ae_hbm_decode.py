@@ -176,6 +176,49 @@ def test_ae_hbm_per_stream_pos_offsets():
             )
 
 
+def test_ae_hbm_wide_streams_match_scan():
+    """n_streams > native tile (wide sublane tiles): the round-5 WaveNet
+    stream-shape A/B showed the marginal serving-group cost is
+    small-matmul sublane underutilization, so the AE serving planner can
+    widen S instead of adding groups.  The conditioned kernel is
+    shape-generic in (S, G); exactness (incl. per-stream clocks and HBM
+    rings) must hold at any split."""
+    params = ae.init_params(jax.random.PRNGKey(50), TINY)
+    need = TINY.receptive_field + max(TINY.dilations)
+    rng = np.random.default_rng(51)
+    n = 32
+    primes = jnp.asarray(rng.integers(0, 32, (n, need)), jnp.int32)
+    F = 24
+    encs = jnp.asarray(rng.normal(size=(n, F, 12)) * 0.3, jnp.float32)
+    offs = jnp.asarray(rng.integers(0, 6, n) * 16 + rng.integers(0, 3, n),
+                       jnp.int32)
+
+    ref = None
+    for S, G in [(32, 1), (16, 2)]:
+        wide = generate_tokens_fused_hbm(
+            params, encs, primes, cfg=TINY, n_steps=90,
+            pos_offset=offs, interpret=True,
+            n_streams=S, n_stream_groups=G,
+            rings_in_hbm=True, hbm_ring_min_dilation=2,
+        )
+        assert wide.shape == (n, 90)
+        if ref is None:
+            # per-stream reference: the scan decoder rebased per clock
+            for i in (0, 9, 31):
+                alone = generate_tokens_fused_hbm(
+                    params, encs[i : i + 1], primes[i : i + 1], cfg=TINY,
+                    n_steps=90, pos_offset=int(offs[i]), interpret=True,
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(wide[i]), np.asarray(alone[0]),
+                    err_msg=f"stream {i} S={S}",
+                )
+            ref = np.asarray(wide)
+        else:
+            np.testing.assert_array_equal(np.asarray(wide), ref,
+                                          err_msg=f"S={S}xG={G}")
+
+
 def test_ae_hbm_bf16_16_stream_mode():
     """(n_streams=16, bf16) on the HBM-streaming conditioned kernel —
     half the streamed-weight bytes per decoded sample AND 2x sublane
