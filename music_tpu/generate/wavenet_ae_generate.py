@@ -84,18 +84,42 @@ def plan_ae_serving(cfg, params, n_rows: int, dtype, call_steps: int,
             pass
     extra = dict(base)
     g_cap = hbm_k.max_stream_groups(cfg, dtype, n_steps=call_steps, n_streams=S)
-    if G_need > g_cap:
-        g_rings = hbm_k.max_stream_groups_hbm_rings(
-            cfg, dtype, n_steps=call_steps, n_streams=S
+    if G_need > 1:
+        # consider the WIDE-tile HBM-rings plan whenever the request
+        # spans multiple native tiles (round-5 stream-shape A/B: the
+        # marginal group cost is small-matmul sublane underutilization;
+        # the AE optimum is S·W ≈ 8k lanes — reference-size AE at 32
+        # streams S16xG2 740k -> S32xG1+rings 850k samples/s, see
+        # wavenet_ae_decode_hbm.serving_stream_width), clamped to the
+        # padded request so small n doesn't pay for empty rows
+        S_wide = min(
+            hbm_k.serving_stream_width(cfg, dtype),
+            max(S, -(-n_rows // S) * S),
         )
-        if g_rings > g_cap:
+        g_rings = hbm_k.max_stream_groups_hbm_rings(
+            cfg, dtype, n_steps=call_steps, n_streams=S_wide
+        ) if S_wide > S else 0
+        # adopt when it serves at least as many rows per launch as the
+        # native no-rings plan (or the whole request)
+        if g_rings >= 1 and S_wide * g_rings >= min(
+            n_rows, S * max(g_cap, 1)
+        ):
             extra["rings_in_hbm"] = True
+            extra["n_streams"] = S = S_wide
             g_cap = g_rings
+        elif G_need > g_cap:
+            # wide tile doesn't fit/win — classic rings upgrade at native S
+            g_rings = hbm_k.max_stream_groups_hbm_rings(
+                cfg, dtype, n_steps=call_steps, n_streams=S
+            )
+            if g_rings > g_cap:
+                extra["rings_in_hbm"] = True
+                g_cap = g_rings
     if g_cap < 1:
         raise NotImplementedError(
             "no AE serving group fits VMEM for this config"
         )
-    G = min(G_need, g_cap)
+    G = min(-(-n_rows // S), g_cap)
     extra["n_stream_groups"] = G
     return hbm_k.generate_tokens_fused_hbm, G * S, extra
 

@@ -117,6 +117,22 @@ def max_stream_groups_hbm_rings(
     )
 
 
+def serving_stream_width(cfg: WaveNetAEConfig, dtype=jnp.bfloat16) -> int:
+    """Measured-optimal sublane tile height for conditioned HBM-RINGS
+    serving (the AE port of the WaveNet round-5 stream-shape finding:
+    wide tiles batch every per-layer matmul across streams instead of
+    re-paying the layer chain per group).  The AE optimum sits LOWER
+    than WaveNet's (S·W ≈ 8k lanes vs 16k — reference-size AE at 128
+    streams: S16xG8 787k -> S64xG2 1.13-1.24M ≈ S128xG1 1.17-1.20M
+    samples/s, while S32xG4 trails ~15%; artifact
+    ae_hbm_shapes_ab_r5.json): the per-stream conditioning staging and
+    frame-clock tables scale with S and push back sooner.  Returns a
+    multiple of the native tile height (8 f32 / 16 bf16), capped at 64."""
+    base = 16 if jnp.dtype(dtype) == jnp.bfloat16 else 8
+    W = max(_row_lanes(cfg), 128)
+    return int(min(64, max(base, (8192 // W) // base * base)))
+
+
 def _ae_kernel_hbm(
     # VMEM inputs
     cur0_ref,        # [G*S, Q]

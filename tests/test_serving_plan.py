@@ -111,9 +111,13 @@ def test_ae_plan_resident_groups_and_hbm_fallback():
     fused, rows, extra = plan_ae_serving(full, full_params, 8, jnp.float32, 4096)
     assert fused is res_k.generate_tokens_fused
     assert rows == 8 and extra == {}
+    # multi-tile f32 requests now take the WIDE-tile rings plan (round-5
+    # stream-shape A/B: one full sublane tile beats narrow groups)
     fused, rows, extra = plan_ae_serving(full, full_params, 16, jnp.float32, 4096)
     assert fused is hbm_k.generate_tokens_fused_hbm
-    assert rows == 16 and extra.get("n_stream_groups") == 2
+    assert rows == 16 and extra == {
+        "rings_in_hbm": True, "n_streams": 16, "n_stream_groups": 1,
+    }
 
     # bf16 plans the 16-row sublane tile: 16 streams = ONE group — which
     # fits the resident kernel on the reference AE; 32 go to HBM G=2
@@ -123,7 +127,15 @@ def test_ae_plan_resident_groups_and_hbm_fallback():
     fused, rows, extra = plan_ae_serving(full, full_params, 32, jnp.bfloat16, 4096)
     assert fused is hbm_k.generate_tokens_fused_hbm
     assert rows == 32
-    assert extra.get("n_streams") == 16 and extra.get("n_stream_groups") == 2
+    assert extra.get("n_streams") == 32 and extra.get("rings_in_hbm") is True
+    assert extra.get("n_stream_groups") == 1
+    # width caps at serving_stream_width (64): 128 rows -> S64 x G2
+    fused, rows, extra = plan_ae_serving(full, full_params, 128, jnp.bfloat16, 4096)
+    assert rows == 128
+    assert extra.get("n_streams") == 64 and extra.get("n_stream_groups") == 2
+    # a ragged request pads to whole native tiles, never past the width
+    fused, rows, extra = plan_ae_serving(full, full_params, 40, jnp.bfloat16, 4096)
+    assert rows == 48 and extra.get("n_streams") == 48
     fused, rows, extra = plan_ae_serving(tiny, tiny_params, 16, jnp.bfloat16, 2048)
     assert fused is res_k.generate_tokens_fused
     assert rows == 16 and extra == {"n_streams": 16}

@@ -263,7 +263,15 @@ def test_ae_session_past_8_streams(kernel):
                            kernel=kernel)
     ref_fn = generate_tokens_fused if kernel == "auto" else generate_tokens_fused_hbm
     assert sess._fused is ref_fn
-    assert sess._extra.get("n_stream_groups") == 2
+    if kernel == "auto":
+        # resident kernel: 12 f32 rows = 2 interleaved 8-stream groups
+        assert sess._extra.get("n_stream_groups") == 2
+    else:
+        # HBM kernel: 12 rows pad to ONE wide 16-row rings tile (the
+        # round-5 stream-shape plan replaces 2 narrow groups)
+        assert sess._extra == {
+            "rings_in_hbm": True, "n_streams": 16, "n_stream_groups": 1,
+        }
     assert sess.capacity == 12
 
     # stagger joins: 6 up front, 4 more after the first step
