@@ -23,6 +23,7 @@ The line also carries the full perf story (VERDICT r1 #9):
 """
 
 import json
+import os
 import sys
 import threading
 import time
@@ -34,19 +35,22 @@ import numpy as np
 TARGET_SAMPLES_PER_SEC = 10_000.0
 V5E_PEAK_BF16_TFLOPS = 197.0
 V5E_PEAK_HBM_GBPS = 819.0
-TIME_BUDGET_S = 560.0  # the driver runs `timeout 580 python bench.py`
+# the driver runs `timeout 580 python bench.py`; local captures can
+# raise the budget to ride out cold relay compiles (observed 7-14 min
+# for the first kernel) and record every block
+TIME_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", 560.0))
 
-# Most recent hardware capture that succeeded (benchmarks/artifacts/
-# bench_r3_local.json, 2026-08-17).  Reported as ``last_good`` when the
-# backend is unavailable so a transient relay outage never erases the
-# round's perf evidence (VERDICT r3 #1: BENCH_r03.json was rc=1 on a
-# recoverable outage).
+# Most recent hardware capture that succeeded.  Reported as
+# ``last_good`` when the backend is unavailable so a transient relay
+# outage never erases the round's perf evidence (VERDICT r3 #1:
+# BENCH_r03.json was rc=1 on a recoverable outage).
 LAST_GOOD = {
-    "captured": "2026-08-17 bench_r3_local.json",
-    "value": 67835.6,
-    "vs_baseline": 6.784,
-    "serving_headline_total_samples_per_sec": 1540619.0,
-    "scaled_hbm_pct_of_peak_hbm_bw": 64.4,
+    "captured": "2026-08-19 bench_r5_local.json (complete capture)",
+    "value": 69705.3,
+    "vs_baseline": 6.971,
+    "serving_headline_total_samples_per_sec": 2767872.0,
+    "serving_headline_kernel_mode": "bf16x128xG1+hbm-rings",
+    "scaled_hbm_pct_of_peak_hbm_bw": 71.6,
 }
 
 _START = time.perf_counter()
@@ -363,10 +367,11 @@ def _run_benchmarks(out):
             from music_tpu.generate.wavenet_ae_generate import (
                 frame_window_width,
             )
-            from music_tpu.kernels.wavenet_ae_decode_hbm import (
-                generate_tokens_fused_hbm as ae_hbm,
-            )
             from music_tpu.models import wavenet_ae as wae
+
+            from music_tpu.generate.wavenet_ae_generate import (
+                plan_ae_serving,
+            )
 
             ae_cfg = wae.WaveNetAEConfig()
             ae_p = wae.init_params(jax.random.PRNGKey(2), ae_cfg)
@@ -376,7 +381,12 @@ def _run_benchmarks(out):
             ) / 1e6
             Pa = ae_cfg.receptive_field + max(ae_cfg.dilations)
             ks = 4096
-            Ba = 32  # bf16x16 x G2 — the measured AE throughput mode
+            Ba = 32  # 32-stream AE serving request (the session shape)
+            # measure the PLANNER's shape for this request (round 5:
+            # wide rings tile — kernel_mode records what it picked)
+            ae_fused, Ba, ae_extra = plan_ae_serving(
+                ae_cfg, ae_p, Ba, jnp.bfloat16, ks, kernel="hbm"
+            )
             Fa = frame_window_width(Pa, ks, ae_cfg.en_pool_kernel_size)
 
             def ae_run(seed):
@@ -387,10 +397,10 @@ def _run_benchmarks(out):
                 prime = jax.random.randint(
                     key, (Ba, Pa), 0, ae_cfg.quantization_channel
                 )
-                return np.asarray(ae_hbm(
+                return np.asarray(ae_fused(
                     ae_p, enc, prime, cfg=ae_cfg, n_steps=ks,
-                    n_streams=16, n_stream_groups=2, dtype=jnp.bfloat16,
-                    pos_offset=jnp.zeros(Ba, jnp.int32),
+                    dtype=jnp.bfloat16,
+                    pos_offset=jnp.zeros(Ba, jnp.int32), **ae_extra,
                 ))
 
             nonce = int(time.time() * 1000) % 2**31
@@ -402,8 +412,11 @@ def _run_benchmarks(out):
                 ae_run(nonce + i)
                 dts.append(time.perf_counter() - t0)
             best, worst = min(dts), max(dts)
+            _S = ae_extra.get("n_streams", 8)
+            _G = ae_extra.get("n_stream_groups", 1)
+            _r = "+hbm-rings" if ae_extra.get("rings_in_hbm") else ""
             out["ae_serving"] = {
-                "kernel_mode": "ae-hbm bf16x16xG2 per-stream-clocks",
+                "kernel_mode": f"ae-hbm bf16x{_S}xG{_G}{_r} per-stream-clocks",
                 "weights_mb_f32": round(ae_mb, 1),
                 "streams": Ba,
                 "total_samples_per_sec": round(ks * Ba / best, 1),
