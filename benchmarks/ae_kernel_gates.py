@@ -19,6 +19,14 @@ AE kernels and GATES the numbers:
      serving headline's accuracy statement).
   4. f32 HBM kernel vs the scan decoder — the exactness anchor (must be
      ~1.0 on hardware; interpret mode proves bit-exactness).
+  5. Round-5 wide tile (bf16 x 32 x G1 + hbm-rings — what plan_ae_serving
+     now emits for a 32-stream request, the bench.py/AEDecodeSession
+     shape): GATED same-dtype agreement vs the narrow bf16 x 16 x G2 plan
+     (the per-stream math is tile-shape-invariant — lanes carry the
+     reduction, sublanes carry streams — so wide vs narrow must be 100%),
+     plus int8-weight-streaming at the same wide shape vs bf16-on-
+     dequantized (GATED same-dtype/same-shape, extends
+     composed_capacity_r5's WaveNet methodology to the AE).
 
 Run on a real TPU: ``python -m benchmarks.ae_kernel_gates``.
 Prints one JSON line; artifact goes to benchmarks/artifacts/.
@@ -94,10 +102,11 @@ def main():
     enc = _jit_encode(cfg)(params, toks)
     prime = toks[:, :P]
 
-    def run(p, rows, wdt=None, dtype=jnp.float32, S=8, G=2):
+    def run(p, rows, wdt=None, dtype=jnp.float32, S=8, G=2, rings=False):
         return np.asarray(hbm_k.generate_tokens_fused_hbm(
             p, enc[:rows], prime[:rows], cfg=cfg, n_steps=k,
             n_streams=S, n_stream_groups=G, dtype=dtype, weight_dtype=wdt,
+            rings_in_hbm=rings,
         ))
 
     def agreement(a, b, name):
@@ -144,9 +153,40 @@ def main():
     out["bf16_dominant_hz"] = doms
     out["source_hz"] = [220.0, 330.0]
 
+    # --- GATE: round-5 wide tile (bf16 x 32 x G1 + rings) --------------
+    # plan_ae_serving's shape for a 32-stream bf16 request since the
+    # stream-shape A/B (ae_hbm_shapes_ab_r5: S32xG1 850k vs S16xG2 687k
+    # samples/s) — the bench.py ae_serving block and AEDecodeSession plan.
+    wide_ok = True
+    try:
+        bf16_wide = run(params, 32, dtype=jnp.bfloat16, S=32, G=1,
+                        rings=True)
+        a, mm = agreement(bf16_wide, bf16,
+                          "bf16x32xG1+rings vs bf16x16xG2 (same dtype)")
+        out["bf16_wide_vs_narrow_agreement"] = round(a, 6)
+        out["bf16_wide_vs_narrow_first_mismatch"] = mm[:8]
+        wide_ok = a == 1.0
+        i8_wide = run(params, 32, wdt=jnp.int8, dtype=jnp.bfloat16,
+                      S=32, G=1, rings=True)
+        # same compute dtype + same shape so the gate is exact: int8's
+        # column-scale dequant must reproduce the bf16 kernel running on
+        # pre-dequantized weights bit-for-bit (the WaveNet precedent:
+        # composed_capacity_r5 agreement_int8_vs_bf16_dq = 1.0)
+        bf16dq_wide = run(dq, 32, dtype=jnp.bfloat16, S=32, G=1,
+                          rings=True)
+        a, mm = agreement(i8_wide, bf16dq_wide,
+                          "int8-bf16x32xG1+rings vs bf16-on-dequantized")
+        out["int8_wide_vs_bf16dq_agreement"] = round(a, 6)
+        out["int8_wide_vs_bf16dq_first_mismatch"] = mm[:8]
+        wide_ok = wide_ok and a == 1.0
+    except Exception as e:  # record a compile rejection, don't crash
+        out["wide_tile_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        wide_ok = False
+
     out.update({
         "agree_steps": k,
-        "ok": bool(int8_ok and out["f32_vs_scan_agreement"] >= 0.999),
+        "ok": bool(int8_ok and wide_ok
+                   and out["f32_vs_scan_agreement"] >= 0.999),
         "wall_s": round(time.time() - t0, 1),
         "backend": jax.default_backend(),
     })
