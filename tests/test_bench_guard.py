@@ -85,6 +85,42 @@ def test_main_prints_error_json_on_backend_outage(monkeypatch):
     assert out["last_good"]["vs_baseline"] > 1.0
 
 
+def test_sigterm_interrupt_escapes_block_guards_and_flushes_json(monkeypatch):
+    """The driver runs ``timeout 580 python bench.py``; SIGTERM mid-block
+    must flush the one JSON line with every block measured so far.  The
+    interrupt is a BaseException so per-block ``except Exception`` guards
+    cannot swallow it."""
+    assert not issubclass(bench._BenchInterrupted, Exception)
+
+    def slow_blocks(out):
+        out["value"] = 456.0
+        try:  # a block-level guard, as in _run_benchmarks
+            raise bench._BenchInterrupted("signal 15")
+        except Exception:
+            pytest.fail("block guard swallowed the interrupt")
+
+    out = _run_main_capture(
+        monkeypatch,
+        _backend_ready=lambda **kw: (True, None),
+        _run_benchmarks=slow_blocks,
+    )
+    assert out["value"] == 456.0
+    assert "signal 15" in out["error"]
+
+
+def test_sigterm_handler_raises_in_main_thread():
+    import os
+    import signal as _signal
+
+    prev = _signal.getsignal(_signal.SIGTERM)
+    try:
+        bench._install_sigterm_flush()
+        with pytest.raises(bench._BenchInterrupted):
+            os.kill(os.getpid(), _signal.SIGTERM)
+    finally:
+        _signal.signal(_signal.SIGTERM, prev)
+
+
 def test_main_prints_json_when_benchmarks_raise_midway(monkeypatch):
     def boom(out):
         out["value"] = 123.0  # partial fill, then die
