@@ -203,6 +203,21 @@ def plan_fused_serving(cfg, S, dtype, call_steps, n):
             wavenet_decode_hbm.serving_stream_width(cfg, dtype),
             max(S, -(-n // S) * S),  # no wider than the padded request
         )
+        # round-5b composed-capacity probes (composed_capacity_r5b.json +
+        # wide192_gate_r5.json): one S192 tile steps at 64-69 µs on the
+        # full model where a second 128-wide group costs 88-124 µs
+        # (1.4-1.9x across relay draws), and S=160 hits a Mosaic tiling
+        # pathology (116 µs — never emit it); so a request that would
+        # otherwise pay S128 x G2 (128 < n <= 192) widens to one 192
+        # tile instead.  Trained-margin hardware gate (all agreements
+        # 1.000000): benchmarks._hw_wide192_check.
+        if S_wide == 128 and 128 < n <= 192 and (
+            wavenet_decode_hbm.max_stream_groups_hbm_rings(
+                cfg, 192, dtype, n_steps=call_steps
+            )
+            >= 1
+        ):
+            S_wide = 192
         hbmr_g = wavenet_decode_hbm.max_stream_groups_hbm_rings(
             cfg, S_wide, dtype, n_steps=call_steps
         )

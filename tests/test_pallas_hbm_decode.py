@@ -242,6 +242,28 @@ def test_hbm_rings_wide_streams_match_scan():
         np.testing.assert_array_equal(np.asarray(wide), np.asarray(ref))
 
 
+def test_hbm_rings_192_tile_pads_ragged_request():
+    """The round-5b planner emits one S=192 tile for 128 < n <= 192
+    requests (plan_fused_serving); the wrapper must pad a ragged row
+    count up to the tile and hand back exactly the requested rows,
+    token-exact vs the scan decoder."""
+    params = wn.init_params(jax.random.PRNGKey(5), TINY)
+    P = TINY.receptive_field + max(TINY.dilations) + 8
+    prime = jax.random.randint(jax.random.PRNGKey(7), (160, P), 0, 32)
+
+    ref = wn.generate_tokens(
+        params, prime, jax.random.PRNGKey(0),
+        cfg=TINY, n_steps=60, prime_len=P, sample_mode="argmax",
+    )
+    wide = generate_tokens_fused_hbm(
+        params, prime, cfg=TINY, n_steps=60, interpret=True,
+        n_streams=192, n_stream_groups=1,
+        rings_in_hbm=True, hbm_ring_min_dilation=3,
+    )
+    assert wide.shape == (160, 60)
+    np.testing.assert_array_equal(np.asarray(wide), np.asarray(ref))
+
+
 def test_hbm_decode_int8_matmul_trained_model_agreement():
     """int8_matmul quantizes activations dynamically (weight-only
     exactness no longer holds), so the correctness statement is

@@ -44,6 +44,20 @@ def test_rings_width_clamped_to_request():
     assert rings and S == 48 and S * g >= 40
 
 
+def test_rings_width_jumps_to_192_for_midsize_requests():
+    # round-5b composed-capacity probes: one S192 tile steps at 64-69 µs
+    # where a second 128-wide group costs 88-124 µs — so 128 < n <= 192
+    # widens to one 192 tile.  S160 (the measured Mosaic tiling
+    # pathology, 116 µs) must never be emitted.
+    for n in (129, 160, 192):
+        fused, S, g, rings = plan_fused_serving(FULL, 16, jnp.bfloat16, 8192, n)
+        assert fused is wavenet_decode_hbm.generate_tokens_fused_hbm
+        assert rings and S == 192 and S * g >= n
+    # past 192 the plan returns to the validated 128-wide group ladder
+    fused, S, g, rings = plan_fused_serving(FULL, 16, jnp.bfloat16, 8192, 256)
+    assert rings and S == 128 and S * g >= 256
+
+
 def test_scaled_model_skips_resident():
     fused, S, g, rings = plan_fused_serving(SCALED, 8, jnp.float32, 2048, 8)
     assert fused is wavenet_decode_hbm.generate_tokens_fused_hbm
